@@ -1,0 +1,318 @@
+"""The CGGibbs sampling engine: coordinate-wise slice-within-Gibbs on TPU.
+
+TPU-native re-design of the reference's hot loop (R/mcmcglm.R:226-274):
+the R double loop (k over samples, j over coordinates) becomes
+
+    lax.scan over sweeps
+      └─ lax.scan over coordinates
+           └─ bounded while_loop slice kernel (ops/slice_kernels.py)
+                └─ fused elementwise + reduction over observations
+
+vmapped over a chain axis — chains are the data-parallel axis of this
+workload (the reference has no chain parallelism at all; its only
+parallelism is process-level experiment parallelism, R/slice_utilities.R:72-79).
+
+Key design decisions:
+
+  * The design matrix is stored transposed, ``Xt`` of shape (d, n): the
+    coordinate scan consumes contiguous (n,) rows, so each slice evaluation
+    streams a contiguous vector — ideal VPU/HBM access (the reference
+    gathers a column ``X[, j]`` per coordinate, R/mcmcglm.R:268).
+  * State per chain is (beta, eta, ld_cur, kernel_state, key):
+    eta is carried and updated incrementally in O(n) per coordinate (the
+    CGGibbs trick, R/glm_utils.R:126-132); ld_cur caches per-observation log
+    densities at the current state, making slice evaluations *relative* —
+    O(1)-magnitude comparisons that are float32-safe on TPU (see
+    models/potential.py).
+  * Only beta samples are collected; the reference retains the full
+    {beta, eta, mu} history for every iteration (O(K·(n+d)) memory,
+    R/mcmcglm.R:188,227) — deliberately not copied (SURVEY.md §7.5).
+  * The "naive" linear-predictor mode recomputes eta with a full matvec per
+    slice evaluation, kept for benchmarking the CGGibbs claim
+    (R/glm_utils.R:206-208, linear_predictor_calc="naive") — on TPU that
+    matvec is a (chains, d) @ (d, n) MXU matmul.
+  * The conjugate "normal-normal" coordinate sampler (R/sampling.R:19-35) is
+    implemented against the posterior precision matrix so each conditional
+    is an O(d) row product, and — unlike the reference, which solves two
+    O(d^3) linear systems per coordinate draw (R/sampling.R:27-32) — all
+    factorisations are precomputed once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Mapping, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .models.families import Family, check_family
+from .utils.linalg import matvec
+from .models.potential import make_coord_target
+from .models.priors import BetaPrior
+from .ops.slice_kernels import SliceKernel, get_slice_kernel
+
+__all__ = ["EngineConfig", "ChainState", "CGGibbs"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static sampler configuration (mirrors the reference's match.arg enums,
+    R/mcmcglm.R:152-163)."""
+
+    sample_method: str = "slice_sampling"  # or "normal-normal"
+    linear_predictor_calc: str = "update"  # or "naive"
+    slice_kernel: Any = "stepping_out"
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        if self.sample_method not in ("slice_sampling", "normal-normal"):
+            raise ValueError(
+                "sample_method must be 'slice_sampling' or 'normal-normal'"
+            )
+        if self.linear_predictor_calc not in ("update", "naive"):
+            raise ValueError("linear_predictor_calc must be 'update' or 'naive'")
+
+
+class ChainState(NamedTuple):
+    beta: jax.Array  # (d,) per chain
+    eta: jax.Array  # (n,) per chain — carried linear predictor
+    ld_cur: jax.Array  # (n,) per chain — cached per-obs log densities
+    kernel_state: jax.Array  # (d,) per chain — carried slice-kernel state
+    key: jax.Array  # PRNG key per chain
+
+
+class CGGibbs:
+    """Compiled CGGibbs sampler over a fixed (X, y, family, prior) problem.
+
+    Parameters
+    ----------
+    X : (n, d) design matrix (the reference's model matrix,
+        R/family_data_processing.R:31-33).
+    y : (n,) response vector.
+    family : Family | str | factory — normalised via check_family.
+    prior : BetaPrior over the d coefficients.
+    extra : the ``log_likelihood_extra_args`` channel (R/mcmcglm.R:151).
+    tuning : slice-kernel tuning parameters (the reference's ``...``
+        passthrough to qslice_fun, R/mcmcglm.R:155,258-261), e.g. {"w": 0.5}.
+    """
+
+    def __init__(
+        self,
+        X,
+        y,
+        family,
+        prior: BetaPrior,
+        extra: Optional[Mapping] = None,
+        config: EngineConfig = EngineConfig(),
+        tuning: Optional[Mapping] = None,
+        reduce_fn=None,
+    ):
+        self.config = config
+        dtype = config.dtype
+        self.family: Family = check_family(family)
+        self.prior = prior
+        X = jnp.asarray(X, dtype)
+        self.n, self.d = X.shape
+        if prior.d != self.d:
+            raise ValueError(
+                f"prior dimension {prior.d} != number of model parameters {self.d}"
+            )
+        self.Xt = jnp.asarray(X.T)  # (d, n): row per coordinate (XLA owns layout)
+        self.y = jnp.asarray(y, dtype).reshape(-1)
+        self.extra = {k: jnp.asarray(v, dtype) for k, v in dict(extra or {}).items()}
+        self.tuning = {k: jnp.asarray(v, dtype) for k, v in dict(tuning or {}).items()}
+        self.reduce_fn = reduce_fn or (lambda t: jnp.sum(t, axis=-1))
+
+        if config.sample_method == "slice_sampling":
+            self.kernel: SliceKernel = get_slice_kernel(config.slice_kernel)
+            missing = [k for k in self.kernel.required if k not in self.tuning]
+            if missing:
+                # parity with the reference's tuning-arg validation
+                # (R/mcmcglm.R:167-169)
+                raise ValueError(
+                    "A tuning parameter for the slice kernel is missing: "
+                    f"{missing} required by {self.kernel.name!r}. For the default "
+                    "'stepping_out' a slice width w needs to be provided"
+                )
+        else:
+            self.kernel = None
+            self._prepare_conjugate()
+
+        self._target_factory = make_coord_target(
+            self.family, self.prior, self.y, self.extra, reduce_fn=self.reduce_fn
+        )
+        self._init_jit = jax.jit(jax.vmap(self._init_one))
+        self._run_cache: dict = {}
+
+    # -- initialisation ----------------------------------------------------
+
+    def _init_one(self, key) -> ChainState:
+        """Init from a prior draw; eta0 = X beta0 is the ONLY full matvec in
+        the whole run (reference: R/mcmcglm.R:200-216)."""
+        dtype = self.config.dtype
+        k_init, k_run = jax.random.split(key)
+        beta = jnp.asarray(self.prior.sample_beta(k_init), dtype)
+        eta = matvec(beta, self.Xt)
+        ld = self.family.log_density_eta(eta, self.y, self.extra)
+        if self.kernel is not None:
+            kstate = jnp.full((self.d,), self.kernel.init_state(self.tuning), dtype)
+        else:
+            kstate = jnp.zeros((self.d,), dtype)
+        return ChainState(beta, eta, ld, kstate, k_run)
+
+    def init(self, key, n_chains: int) -> ChainState:
+        keys = jax.random.split(key, n_chains)
+        return self._init_jit(keys)
+
+    # -- conjugate normal-normal path -------------------------------------
+
+    def _prepare_conjugate(self):
+        """Precompute the gaussian-gaussian posterior's mean and precision
+        (reference computes these per coordinate draw, R/sampling.R:4-14;
+        we factor once).  cov_post = (X'X/sigma^2 + cov_prior^{-1})^{-1},
+        mu_post = cov_post X'y / sigma^2  (R/sampling.R:8-9)."""
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        X = self.Xt.T.astype(dtype)
+        y = self.y.astype(dtype)
+        sigma = jnp.asarray(self.extra.get("sd", 1.0), dtype)
+        cov_prior = jnp.asarray(self.prior.cov_beta(), dtype)
+        prec_post = X.T @ X / sigma**2 + jnp.linalg.inv(cov_prior)
+        cov_post = jnp.linalg.inv(prec_post)
+        mu_post = cov_post @ (X.T @ y) / sigma**2
+        self._conj_mu = mu_post.astype(self.config.dtype)
+        self._conj_prec = prec_post.astype(self.config.dtype)
+
+    def _conjugate_draw(self, key, beta, j):
+        """beta_j | beta_{-j} ~ N(mu_j - Q_j,-j (beta_-j - mu_-j)/Q_jj, 1/Q_jj)
+        — the Schur-complement conditional (R/sampling.R:27-34) expressed via
+        the precision matrix Q (note: the reference buggily passes the
+        conditional *variance* as dist_normal's sd, R/sampling.R:32-34; we
+        use the correct standard deviation — SURVEY.md §7.4)."""
+        Q_row = self._conj_prec[j]
+        q_jj = Q_row[j]
+        r = beta - self._conj_mu
+        off = jnp.dot(Q_row, r) - q_jj * r[j]
+        mean = self._conj_mu[j] - off / q_jj
+        sd = lax.rsqrt(q_jj)
+        return mean + sd * jax.random.normal(key, (), dtype=self.config.dtype)
+
+    # -- the sweep ---------------------------------------------------------
+
+    def _coord_step(self, carry, xs):
+        beta, eta, ld, kstate, key = carry
+        j, x_j = xs
+        key, sub = jax.random.split(key)
+
+        if self.config.sample_method == "normal-normal":
+            b_new = self._conjugate_draw(sub, beta, j)
+            n_evals = jnp.zeros((), jnp.int32)
+        elif self.config.linear_predictor_calc == "update":
+            g = self._target_factory(beta, eta, ld, x_j, j)
+            res = self.kernel(
+                sub, beta[j], g, state=kstate[j], fx0=jnp.zeros((), self.config.dtype),
+                **self.tuning,
+            )
+            b_new = res.x
+            n_evals = res.n_evals
+            kstate = kstate.at[j].set(jnp.asarray(res.state, kstate.dtype))
+        else:  # naive: full matvec per slice evaluation (R/glm_utils.R:206-208)
+            beta_j = beta[j]
+            lp_cur = self.prior.coord_log_prob(beta, j, beta_j)
+            ll_cur = self.reduce_fn(ld)
+
+            def g(b):
+                beta_new = beta.at[j].set(b)
+                eta_new = matvec(beta_new, self.Xt)
+                ll = self.reduce_fn(self.family.log_density_eta(eta_new, self.y, self.extra))
+                lp = self.prior.coord_log_prob(beta, j, b)
+                return (ll - ll_cur) + (lp - lp_cur)
+
+            res = self.kernel(
+                sub, beta_j, g, state=kstate[j], fx0=jnp.zeros((), self.config.dtype),
+                **self.tuning,
+            )
+            b_new = res.x
+            n_evals = res.n_evals
+            kstate = kstate.at[j].set(jnp.asarray(res.state, kstate.dtype))
+
+        # Commit: incremental O(n) eta update (R/mcmcglm.R:264-269) and
+        # refresh of the cached per-observation log densities.
+        eta = eta + x_j * (b_new - beta[j])
+        beta = beta.at[j].set(b_new)
+        ld = self.family.log_density_eta(eta, self.y, self.extra)
+        return (beta, eta, ld, kstate, key), n_evals
+
+    def _sweep(self, state: ChainState, _):
+        carry = (state.beta, state.eta, state.ld_cur, state.kernel_state, state.key)
+        xs = (jnp.arange(self.d), self.Xt)
+        carry, n_evals = lax.scan(self._coord_step, carry, xs)
+        new_state = ChainState(*carry)
+        return new_state, (new_state.beta, jnp.sum(n_evals))
+
+    def sweep_fn(self):
+        """The single-sweep function (one full Gibbs pass over the d
+        coordinates) for one chain — the jittable 'training step'."""
+        return lambda state: self._sweep(state, None)
+
+    # -- multi-sweep runs --------------------------------------------------
+
+    def _run_one(self, state: ChainState, n_steps: int):
+        state, (betas, n_evals) = lax.scan(
+            self._sweep, state, None, length=n_steps
+        )
+        return state, betas, n_evals
+
+    def run(self, state: ChainState, n_steps: int):
+        """Advance every chain by ``n_steps`` sweeps.
+
+        Returns (new_state, betas, n_evals) with betas of shape
+        (chains, n_steps, d) and n_evals of shape (chains, n_steps).
+        Compiled once per distinct n_steps.
+        """
+        fn = self._run_cache.get(n_steps)
+        if fn is None:
+            fn = jax.jit(jax.vmap(partial(self._run_one, n_steps=n_steps)))
+            self._run_cache[n_steps] = fn
+        return fn(state)
+
+    def sample(
+        self,
+        key,
+        n_samples: int,
+        n_chains: int = 1,
+        chunk_size: int = 0,
+        progress=None,
+    ):
+        """Full sampling run: init from the prior, then n_samples sweeps.
+
+        Returns (betas, n_evals, final_state) where betas has shape
+        (chains, n_samples + 1, d) — row 0 is the init draw, matching the
+        reference's iteration-0 bookkeeping (R/mcmcglm.R:193-198,222).
+
+        ``chunk_size`` > 0 runs in host-visible chunks (progress callbacks +
+        bounded device memory for the collected history); 0 runs one scan.
+        """
+        state = self.init(key, n_chains)
+        init_beta = np.asarray(state.beta)[:, None, :]
+        if chunk_size <= 0:
+            chunk_size = n_samples
+        chunks_betas = [init_beta]
+        chunks_nev = []
+        done = 0
+        while done < n_samples:
+            step = min(chunk_size, n_samples - done)
+            state, betas, n_evals = self.run(state, step)
+            chunks_betas.append(np.asarray(betas))
+            chunks_nev.append(np.asarray(n_evals))
+            done += step
+            if progress is not None:
+                progress(done, n_samples)
+        betas = np.concatenate(chunks_betas, axis=1)
+        n_evals = np.concatenate(chunks_nev, axis=1) if chunks_nev else np.zeros(
+            (n_chains, 0), np.int32
+        )
+        return betas, n_evals, state
