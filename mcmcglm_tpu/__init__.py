@@ -10,7 +10,18 @@ parallel chains over TPU device meshes, and pooled convergence diagnostics.
 
 __version__ = "0.1.0"
 
+from .api import mcmcglm
+from .datagen import generate_glm_data, generate_normal_data
+from .diagnostics import ess, split_rhat, summarize
 from .engine import CGGibbs, ChainState, EngineConfig
+from .formula import Design, build_design, design_from_arrays
+from .perf import (
+    compare_eta_comptime,
+    compare_eta_comptime_across_nvars,
+    plot_eta_comptime,
+)
+from .results import MCMCGLM
+from .sweep import mcmcglm_across_tuningparams, plot_mcmcglm_across_tuningparams
 from .models import (
     BetaPrior,
     Distribution,

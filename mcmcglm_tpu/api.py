@@ -1,0 +1,167 @@
+"""The top-level ``mcmcglm`` entry point.
+
+TPU-native re-design of the reference's single public fitting function
+(R/mcmcglm.R:147-299): same conceptual signature — formula + data + family +
+beta_prior + slice tuning — returning a results object with
+samples/coef/quantile/trace_plot methods, with TPU-first extensions
+(multiple vmapped chains, explicit PRNG seed, dtype policy, array-first
+input, chunked execution with progress reporting).
+
+Differences from the reference, on purpose:
+  * ``n_chains`` vmaps independent chains (reference is single-chain).
+  * burn-in bookkeeping and quantile subsetting follow the documented
+    (not buggy) behavior — see results.py.
+  * memory: only beta draws are kept (reference keeps beta/eta/mu for every
+    iteration, R/mcmcglm.R:188).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import CGGibbs, EngineConfig
+from .formula import Design, build_design, design_from_arrays
+from .models.families import check_family
+from .models.priors import Normal, make_beta_prior
+from .ops.slice_kernels import get_slice_kernel
+from .results import MCMCGLM
+
+__all__ = ["mcmcglm"]
+
+
+def mcmcglm(
+    formula: Optional[str] = None,
+    family="gaussian",
+    data=None,
+    beta_prior=None,
+    log_likelihood_extra_args: Optional[Mapping[str, Any]] = None,
+    linear_predictor_calc: str = "update",
+    sample_method: str = "slice_sampling",
+    slice_fn="stepping_out",
+    *,
+    n_samples: int = 500,
+    burnin: int = 100,
+    n_chains: int = 1,
+    seed: int = 0,
+    X=None,
+    y=None,
+    columns: Optional[Sequence[str]] = None,
+    add_intercept: bool = False,
+    dtype=jnp.float32,
+    chunk_size: int = 0,
+    progress: bool = False,
+    qslice_fun=None,
+    **tuning,
+) -> MCMCGLM:
+    """Draw MCMC samples from a GLM posterior with the CGGibbs sampler.
+
+    Mirrors the reference's argument surface (R/mcmcglm.R:147-157):
+
+    - ``formula`` + ``data`` — R-style formula over a DataFrame/dict, OR
+      ``X=', ``y=`` arrays directly (TPU-first path).
+    - ``family`` — string / factory / Family (reference check_family,
+      R/family_data_processing.R:3-16).
+    - ``beta_prior`` — a Distribution (iid over coordinates), a list of
+      per-coordinate Distributions, a MultivariateNormal, or a BetaPrior.
+      Defaults to Normal(0, 1) (R/mcmcglm.R:150).
+    - ``log_likelihood_extra_args`` — nuisance parameters for the family's
+      log density, e.g. ``{"sd": 1.0}`` for gaussian (R/mcmcglm.R:151).
+      Defaults to ``{"sd": 1.0}`` for gaussian parity.
+    - ``linear_predictor_calc`` — "update" (CGGibbs O(n)) or "naive"
+      (full matvec; benchmark parity, R/glm_utils.R:200-208).
+    - ``sample_method`` — "slice_sampling" or the conjugate "normal-normal"
+      testing oracle (R/mcmcglm.R:152-153).
+    - ``slice_fn`` — slice kernel name or SliceKernel (the reference's
+      ``qslice_fun``; that spelling is accepted as an alias).
+    - ``**tuning`` — kernel tuning parameters, e.g. ``w=0.5`` for
+      stepping_out (the reference's ``...`` passthrough, R/mcmcglm.R:155).
+
+    Returns an :class:`MCMCGLM` with ``(n_chains, n_samples + 1, d)`` draws.
+    """
+    call = (
+        f"mcmcglm(formula={formula!r}, family=..., n_samples={n_samples}, "
+        f"burnin={burnin}, n_chains={n_chains}, sample_method={sample_method!r})"
+    )
+    if burnin >= n_samples:
+        # parity: R/mcmcglm.R:165
+        raise ValueError("Need more iterations than burnin")
+
+    fam = check_family(family)
+
+    # -- data ingestion ----------------------------------------------------
+    if formula is not None:
+        if data is None:
+            raise ValueError("`data` is required when a formula is given")
+        design: Design = build_design(formula, data)
+    elif X is not None and y is not None:
+        design = design_from_arrays(X, y, columns=columns, add_intercept=add_intercept)
+    else:
+        raise ValueError("provide either (formula, data) or (X=, y=)")
+
+    d = design.X.shape[1]
+    if beta_prior is None:
+        beta_prior = Normal(0.0, 1.0)
+    prior = make_beta_prior(beta_prior, d)
+
+    extra = dict(log_likelihood_extra_args or {})
+    if fam.name == "gaussian" and "sd" not in extra:
+        # reference default: log_likelihood_extra_args = list(sd = 1)
+        extra["sd"] = 1.0
+
+    slice_spec = qslice_fun if qslice_fun is not None else slice_fn
+    kernel = get_slice_kernel(slice_spec) if sample_method == "slice_sampling" else None
+
+    config = EngineConfig(
+        sample_method=sample_method,
+        linear_predictor_calc=linear_predictor_calc,
+        slice_kernel=kernel if kernel is not None else "stepping_out",
+        dtype=dtype,
+    )
+    engine = CGGibbs(
+        design.X,
+        design.y,
+        fam,
+        prior,
+        extra=extra,
+        config=config,
+        tuning=tuning,
+    )
+
+    progress_cb = None
+    if progress:
+
+        def progress_cb(done, total):  # noqa: ANN001
+            pct = 100.0 * done / total
+            print(f"\rSampling from posterior: {done}/{total} ({pct:.0f}%)",
+                  end="" if done < total else "\n", flush=True)
+
+    t0 = time.perf_counter()
+    betas, n_evals, _ = engine.sample(
+        jax.random.key(seed),
+        n_samples,
+        n_chains=n_chains,
+        chunk_size=chunk_size,
+        progress=progress_cb,
+    )
+    elapsed = time.perf_counter() - t0
+
+    return MCMCGLM(
+        beta=np.asarray(betas),
+        columns=list(design.columns),
+        family_name=fam.name,
+        burnin=burnin,
+        sample_method=sample_method,
+        slice_kernel=kernel.name if kernel is not None else None,
+        tuning=dict(tuning),
+        n_evals=np.asarray(n_evals),
+        model_matrix=design.X,
+        response=design.y,
+        formula=design.formula,
+        call=call,
+        elapsed_seconds=elapsed,
+    )

@@ -83,6 +83,7 @@ class ChainState(NamedTuple):
     ld_cur: jax.Array  # (n,) per chain — cached per-obs log densities
     kernel_state: jax.Array  # (d,) per chain — carried slice-kernel state
     key: jax.Array  # PRNG key per chain
+    chain_tuning: dict  # per-chain tuning scalars (e.g. a swept slice width)
 
 
 class CGGibbs:
@@ -110,6 +111,7 @@ class CGGibbs:
         config: EngineConfig = EngineConfig(),
         tuning: Optional[Mapping] = None,
         reduce_fn=None,
+        chain_tuning_names: tuple = (),
     ):
         self.config = config
         dtype = config.dtype
@@ -129,7 +131,11 @@ class CGGibbs:
 
         if config.sample_method == "slice_sampling":
             self.kernel: SliceKernel = get_slice_kernel(config.slice_kernel)
-            missing = [k for k in self.kernel.required if k not in self.tuning]
+            missing = [
+                k
+                for k in self.kernel.required
+                if k not in self.tuning and k not in chain_tuning_names
+            ]
             if missing:
                 # parity with the reference's tuning-arg validation
                 # (R/mcmcglm.R:167-169)
@@ -150,7 +156,7 @@ class CGGibbs:
 
     # -- initialisation ----------------------------------------------------
 
-    def _init_one(self, key) -> ChainState:
+    def _init_one(self, key, chain_tuning) -> ChainState:
         """Init from a prior draw; eta0 = X beta0 is the ONLY full matvec in
         the whole run (reference: R/mcmcglm.R:200-216)."""
         dtype = self.config.dtype
@@ -159,14 +165,30 @@ class CGGibbs:
         eta = matvec(beta, self.Xt)
         ld = self.family.log_density_eta(eta, self.y, self.extra)
         if self.kernel is not None:
-            kstate = jnp.full((self.d,), self.kernel.init_state(self.tuning), dtype)
+            kstate = jnp.full(
+                (self.d,),
+                self.kernel.init_state({**self.tuning, **chain_tuning}),
+                dtype,
+            )
         else:
             kstate = jnp.zeros((self.d,), dtype)
-        return ChainState(beta, eta, ld, kstate, k_run)
+        return ChainState(beta, eta, ld, kstate, k_run, chain_tuning)
 
-    def init(self, key, n_chains: int) -> ChainState:
+    def init(self, key, n_chains: int, chain_tuning: Optional[Mapping] = None) -> ChainState:
+        """Build the vmapped initial state.  ``chain_tuning`` optionally maps
+        tuning names to (n_chains,) arrays — per-chain tuning values (used by
+        the single-compile sweep harness, sweep.py)."""
         keys = jax.random.split(key, n_chains)
-        return self._init_jit(keys)
+        ct = {
+            k: jnp.asarray(v, self.config.dtype)
+            for k, v in dict(chain_tuning or {}).items()
+        }
+        for k, v in ct.items():
+            if v.shape[:1] != (n_chains,):
+                raise ValueError(
+                    f"chain_tuning[{k!r}] must have leading dim n_chains={n_chains}"
+                )
+        return self._init_jit(keys, ct)
 
     # -- conjugate normal-normal path -------------------------------------
 
@@ -203,9 +225,10 @@ class CGGibbs:
     # -- the sweep ---------------------------------------------------------
 
     def _coord_step(self, carry, xs):
-        beta, eta, ld, kstate, key = carry
+        beta, eta, ld, kstate, key, chain_tuning = carry
         j, x_j = xs
         key, sub = jax.random.split(key)
+        tuning = {**self.tuning, **chain_tuning}
 
         if self.config.sample_method == "normal-normal":
             b_new = self._conjugate_draw(sub, beta, j)
@@ -214,7 +237,7 @@ class CGGibbs:
             g = self._target_factory(beta, eta, ld, x_j, j)
             res = self.kernel(
                 sub, beta[j], g, state=kstate[j], fx0=jnp.zeros((), self.config.dtype),
-                **self.tuning,
+                **tuning,
             )
             b_new = res.x
             n_evals = res.n_evals
@@ -233,7 +256,7 @@ class CGGibbs:
 
             res = self.kernel(
                 sub, beta_j, g, state=kstate[j], fx0=jnp.zeros((), self.config.dtype),
-                **self.tuning,
+                **tuning,
             )
             b_new = res.x
             n_evals = res.n_evals
@@ -244,10 +267,17 @@ class CGGibbs:
         eta = eta + x_j * (b_new - beta[j])
         beta = beta.at[j].set(b_new)
         ld = self.family.log_density_eta(eta, self.y, self.extra)
-        return (beta, eta, ld, kstate, key), n_evals
+        return (beta, eta, ld, kstate, key, chain_tuning), n_evals
 
     def _sweep(self, state: ChainState, _):
-        carry = (state.beta, state.eta, state.ld_cur, state.kernel_state, state.key)
+        carry = (
+            state.beta,
+            state.eta,
+            state.ld_cur,
+            state.kernel_state,
+            state.key,
+            state.chain_tuning,
+        )
         xs = (jnp.arange(self.d), self.Xt)
         carry, n_evals = lax.scan(self._coord_step, carry, xs)
         new_state = ChainState(*carry)
@@ -286,6 +316,7 @@ class CGGibbs:
         n_chains: int = 1,
         chunk_size: int = 0,
         progress=None,
+        chain_tuning: Optional[Mapping] = None,
     ):
         """Full sampling run: init from the prior, then n_samples sweeps.
 
@@ -296,7 +327,7 @@ class CGGibbs:
         ``chunk_size`` > 0 runs in host-visible chunks (progress callbacks +
         bounded device memory for the collected history); 0 runs one scan.
         """
-        state = self.init(key, n_chains)
+        state = self.init(key, n_chains, chain_tuning=chain_tuning)
         init_beta = np.asarray(state.beta)[:, None, :]
         if chunk_size <= 0:
             chunk_size = n_samples

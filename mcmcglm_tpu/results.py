@@ -1,0 +1,193 @@
+"""The fit-result container and its methods.
+
+TPU-native re-design of the reference's S3 class ``mcmcglm``
+(R/mcmcglm_methods.R): ``samples()``, ``coef()``, ``quantile()``,
+``trace_plot()``, ``print`` — plus chain-aware extensions the reference
+lacks (multiple chains, ESS, split-R-hat).
+
+Parity decisions (SURVEY.md §7):
+  * burn-in flag: a row is burn-in iff ``iteration <= burnin`` (iteration 0
+    is the init draw).  The reference flags ``iteration <= burnin + 1``
+    (off-by-one, R/mcmcglm.R:198) — deliberately not copied.
+  * ``quantile()`` summarises the NON-burn-in samples, as its own
+    documentation states (R/mcmcglm_methods.R:90); the reference
+    implementation buggily summarises the burn-in subset
+    (R/mcmcglm_methods.R:137) — deliberately not copied.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Optional, Sequence
+
+import numpy as np
+
+from .diagnostics import ess as _ess
+from .diagnostics import split_rhat as _split_rhat
+
+__all__ = ["MCMCGLM"]
+
+
+@dataclasses.dataclass
+class MCMCGLM:
+    """Result of a :func:`mcmcglm_tpu.mcmcglm` fit.
+
+    ``beta`` holds raw samples of shape (chains, n_samples + 1, d) where
+    row 0 along the draws axis is the init draw (reference iteration-0
+    bookkeeping, R/mcmcglm.R:193-198,222).
+    """
+
+    beta: np.ndarray  # (C, K+1, d)
+    columns: list  # d parameter names
+    family_name: str
+    burnin: int
+    sample_method: str
+    slice_kernel: Optional[str]
+    tuning: Mapping[str, Any]
+    n_evals: Optional[np.ndarray] = None  # (C, K) slice evaluations per sweep
+    model_matrix: Optional[np.ndarray] = None
+    response: Optional[np.ndarray] = None
+    formula: Optional[str] = None
+    call: Optional[str] = None
+    elapsed_seconds: Optional[float] = None
+
+    # -- core accessors ----------------------------------------------------
+
+    @property
+    def n_chains(self) -> int:
+        return self.beta.shape[0]
+
+    @property
+    def n_iterations(self) -> int:
+        return self.beta.shape[1] - 1
+
+    @property
+    def d(self) -> int:
+        return self.beta.shape[2]
+
+    def _burnin_mask(self):
+        iters = np.arange(self.beta.shape[1])
+        return iters <= self.burnin
+
+    def post_burnin(self) -> np.ndarray:
+        """Samples after burn-in: (C, K - burnin, d)."""
+        return self.beta[:, self.burnin + 1 :, :]
+
+    def samples(self):
+        """Long-format DataFrame of all draws — the analogue of the
+        reference's ``samples()`` / ``beta_samples`` data.frame
+        (R/mcmcglm_methods.R:43-50): one row per (chain, iteration) with
+        parameter columns plus ``iteration`` and ``burnin`` flags, plus a
+        ``chain`` column (the reference is single-chain)."""
+        import pandas as pd
+
+        C, K1, d = self.beta.shape
+        burn = self._burnin_mask()
+        frames = []
+        for c in range(C):
+            df = pd.DataFrame(self.beta[c], columns=self.columns)
+            df["iteration"] = np.arange(K1)
+            df["burnin"] = burn
+            df["chain"] = c
+            frames.append(df)
+        return pd.concat(frames, ignore_index=True)
+
+    def coef(self):
+        """Posterior mean over non-burn-in draws pooled across chains —
+        the reference's ``beta_mean`` / ``coef()`` (R/mcmcglm.R:276-280,
+        R/mcmcglm_methods.R:84-86)."""
+        import pandas as pd
+
+        post = self.post_burnin().reshape(-1, self.d)
+        return pd.Series(post.mean(axis=0), index=self.columns, name="beta_mean")
+
+    def quantile(self, probs: Sequence[float] = (0.025, 0.5, 0.975)):
+        """Per-parameter mean + quantiles over NON-burn-in draws, wide
+        format (var × statistic) like the reference's quantile method
+        (R/mcmcglm_methods.R:124-158, with its burn-in filter bug fixed)."""
+        import pandas as pd
+
+        post = self.post_burnin().reshape(-1, self.d)
+        out = {"var": list(self.columns), "mean": post.mean(axis=0)}
+        for p in probs:
+            out[f"q_{str(p).replace('0.', '')}"] = np.quantile(post, p, axis=0)
+        return pd.DataFrame(out)
+
+    # -- diagnostics beyond the reference ---------------------------------
+
+    def ess(self) -> np.ndarray:
+        """Bulk ESS per parameter over non-burn-in draws."""
+        return _ess(self.post_burnin())
+
+    def rhat(self) -> np.ndarray:
+        """Split-R-hat per parameter over non-burn-in draws."""
+        return _split_rhat(self.post_burnin())
+
+    def ess_per_second(self) -> Optional[np.ndarray]:
+        if self.elapsed_seconds is None or self.elapsed_seconds <= 0:
+            return None
+        return self.ess() / self.elapsed_seconds
+
+    # -- plotting ----------------------------------------------------------
+
+    def trace_plot(self, samples_drop: Optional[int] = None, ax=None):
+        """Faceted per-parameter trace plot colored by burn-in status —
+        matplotlib analogue of the reference's ggplot trace_plot
+        (R/mcmcglm_methods.R:195-220).  ``samples_drop`` defaults to half
+        the burn-in (R/mcmcglm_methods.R:201)."""
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        if samples_drop is None:
+            samples_drop = int(np.ceil(self.burnin / 2))
+        iters = np.arange(self.beta.shape[1])
+        keep = iters > samples_drop
+        burn = self._burnin_mask()
+
+        d = self.d
+        ncols = min(3, d)
+        nrows = int(np.ceil(d / ncols))
+        fig, axes = plt.subplots(
+            nrows, ncols, figsize=(4 * ncols, 2.5 * nrows), squeeze=False
+        )
+        for p in range(d):
+            ax_p = axes[p // ncols][p % ncols]
+            for c in range(self.n_chains):
+                for is_burn, color in ((True, "tab:red"), (False, "tab:blue")):
+                    mask = keep & (burn == is_burn)
+                    # include boundary point so segments connect
+                    ax_p.plot(
+                        iters[mask],
+                        self.beta[c, mask, p],
+                        color=color,
+                        lw=0.7,
+                        alpha=0.8,
+                    )
+            ax_p.set_title(f"Var: {self.columns[p]}", fontsize=9)
+            ax_p.set_xlabel("iteration")
+        for p in range(d, nrows * ncols):
+            axes[p // ncols][p % ncols].set_visible(False)
+        fig.tight_layout()
+        return fig
+
+    # -- printing ----------------------------------------------------------
+
+    def __repr__(self):
+        """Mirrors the reference's print method: call + mean of parameter
+        samples (R/mcmcglm_methods.R:2-9)."""
+        coefs = self.coef()
+        lines = ["Object of class 'MCMCGLM'", ""]
+        if self.call:
+            lines += [f"Call:  {self.call}", ""]
+        lines += [
+            f"family: {self.family_name}  method: {self.sample_method}"
+            + (f" ({self.slice_kernel})" if self.slice_kernel else ""),
+            f"chains: {self.n_chains}  iterations: {self.n_iterations}  "
+            f"burnin: {self.burnin}",
+            "",
+            "Average of parameter samples:",
+            coefs.to_string(),
+        ]
+        return "\n".join(lines)

@@ -1,0 +1,129 @@
+"""End-to-end tests for the public mcmcglm() API + results methods —
+the README example flow (README.md:38-107) in the TPU-native API."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import mcmcglm_tpu as mg
+
+
+@pytest.fixture(scope="module")
+def dat_norm():
+    rng = np.random.default_rng(42)
+    n = 1000
+    x1 = rng.normal(size=n)
+    x2 = rng.binomial(1, 0.5, n).astype(float)
+    y = rng.normal(1.0 + 1.5 * x1 + 2.0 * x2, 1.0)
+    return pd.DataFrame({"Y": y, "X1": x1, "X2": x2})
+
+
+@pytest.fixture(scope="module")
+def fit(dat_norm):
+    return mg.mcmcglm(
+        formula="Y ~ .",
+        data=dat_norm,
+        beta_prior=mg.Normal(0, 1),
+        family="gaussian",
+        n_samples=500,
+        burnin=100,
+        n_chains=4,
+        seed=0,
+        w=0.5,
+    )
+
+
+class TestReadmeFlow:
+    def test_fit_shapes(self, fit):
+        assert fit.beta.shape == (4, 501, 3)
+        assert fit.columns == ["(Intercept)", "X1", "X2"]
+        assert fit.n_iterations == 500
+
+    def test_coef_recovers_truth(self, fit):
+        coefs = fit.coef()
+        np.testing.assert_allclose(coefs.values, [1.0, 1.5, 2.0], atol=0.15)
+        assert list(coefs.index) == ["(Intercept)", "X1", "X2"]
+
+    def test_samples_dataframe(self, fit):
+        s = fit.samples()
+        assert set(s.columns) == {"(Intercept)", "X1", "X2", "iteration", "burnin", "chain"}
+        assert len(s) == 4 * 501
+        # burn-in flag: iteration <= burnin (documented behavior; the
+        # reference off-by-one at R/mcmcglm.R:198 is deliberately not copied)
+        assert s[s.iteration == 100].burnin.all()
+        assert not s[s.iteration == 101].burnin.any()
+
+    def test_quantile_wide_format(self, fit):
+        q = fit.quantile()
+        assert list(q.columns) == ["var", "mean", "q_025", "q_5", "q_975"]
+        x2 = q[q["var"] == "X2"].iloc[0]
+        assert x2["q_025"] < x2["mean"] < x2["q_975"]
+        assert abs(x2["mean"] - 2.0) < 0.15
+
+    def test_repr(self, fit):
+        text = repr(fit)
+        assert "Average of parameter samples" in text
+        assert "gaussian" in text
+
+    def test_trace_plot(self, fit):
+        fig = fit.trace_plot()
+        assert len(fig.axes) >= 3
+
+    def test_diagnostics(self, fit):
+        e = fit.ess()
+        r = fit.rhat()
+        assert e.shape == (3,) and (e > 50).all()
+        assert (r < 1.1).all()
+        assert fit.ess_per_second() is not None
+
+
+class TestAPIOptions:
+    def test_array_input(self, dat_norm):
+        X = np.column_stack([np.ones(len(dat_norm)), dat_norm.X1, dat_norm.X2])
+        fit = mg.mcmcglm(
+            family="gaussian", X=X, y=dat_norm.Y.values,
+            columns=["(Intercept)", "X1", "X2"],
+            n_samples=100, burnin=20, seed=1, w=0.5,
+        )
+        np.testing.assert_allclose(fit.coef().values, [1.0, 1.5, 2.0], atol=0.3)
+
+    def test_normal_normal(self, dat_norm):
+        fit = mg.mcmcglm(
+            formula="Y ~ .", data=dat_norm, family="gaussian",
+            sample_method="normal-normal", n_samples=200, burnin=50, seed=2,
+        )
+        np.testing.assert_allclose(fit.coef().values, [1.0, 1.5, 2.0], atol=0.2)
+        assert fit.slice_kernel is None
+
+    def test_elliptical_kernel(self, dat_norm):
+        fit = mg.mcmcglm(
+            formula="Y ~ .", data=dat_norm, family="gaussian",
+            slice_fn="elliptical", mu=0.0, sigma=2.0,
+            n_samples=150, burnin=50, seed=3,
+        )
+        np.testing.assert_allclose(fit.coef().values, [1.0, 1.5, 2.0], atol=0.3)
+
+    def test_qslice_fun_alias(self, dat_norm):
+        fit = mg.mcmcglm(
+            formula="Y ~ .", data=dat_norm, family="gaussian",
+            qslice_fun="latent", rate=0.3,
+            n_samples=150, burnin=50, seed=4,
+        )
+        np.testing.assert_allclose(fit.coef().values, [1.0, 1.5, 2.0], atol=0.3)
+
+    def test_list_prior(self, dat_norm):
+        fit = mg.mcmcglm(
+            formula="Y ~ .", data=dat_norm, family="gaussian",
+            beta_prior=[mg.Normal(0, 1), mg.Normal(0, 2), mg.StudentT(5.0, 0, 2)],
+            n_samples=150, burnin=50, seed=5, w=0.5,
+        )
+        np.testing.assert_allclose(fit.coef().values, [1.0, 1.5, 2.0], atol=0.3)
+
+    def test_burnin_validation(self, dat_norm):
+        # parity: R/mcmcglm.R:165
+        with pytest.raises(ValueError, match="more iterations than burnin"):
+            mg.mcmcglm(formula="Y ~ .", data=dat_norm, n_samples=10, burnin=10, w=0.5)
+
+    def test_missing_data(self):
+        with pytest.raises(ValueError, match="data"):
+            mg.mcmcglm(formula="Y ~ X", w=0.5)
