@@ -1,0 +1,158 @@
+"""North-star benchmark: ESS/sec/chip on a p=1000 logistic GLM (BASELINE.md).
+
+Protocol
+--------
+* Fit BASELINE config: logistic regression, n=10k observations, p=1000
+  coefficients, N(0,1) prior, stepping-out slice CGGibbs, many vmapped
+  chains on one chip.
+* Warm up (compile + burn-in), then time K sweeps; compute pooled bulk ESS
+  per coordinate over the timed draws and report the MINIMUM across
+  coordinates (the worst-mixing parameter) divided by wall time.
+* ``vs_baseline``: the reference is pure single-chain R with no published
+  numbers (BASELINE.md), so we measure a conservative stand-in on this
+  machine: the same CGGibbs algorithm implemented in vectorised NumPy
+  (strictly faster than the reference's R loop, which adds interpreter and
+  closure overhead per evaluation — R/mcmcglm.R:239-262). Same algorithm ->
+  same per-sweep mixing, so
+      baseline ESS/s = (min-ESS per chain-sweep) * (numpy sweeps/s).
+  The reported ratio therefore *understates* the true speedup over R.
+
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _numpy_baseline_sweep_rate(X, y, w=0.5, n_sweeps=2, seed=0, prior_sd=1.0):
+    """Single-chain CGGibbs in NumPy (reference-algorithm proxy): stepping-out
+    slice per coordinate with the O(n) incremental eta update."""
+    rng = np.random.default_rng(seed)
+    n, d = X.shape
+    beta = rng.normal(size=d) * prior_sd
+    eta = X @ beta
+
+    def loglik(e):
+        # Bernoulli/logit: sum(y*eta - log1p(exp(eta)))
+        return float(np.sum(y * e - np.logaddexp(0.0, e)))
+
+    def logpost_from(bj, j, eta):
+        e = eta + X[:, j] * (bj - beta[j])
+        return loglik(e) - 0.5 * (bj / prior_sd) ** 2
+
+    t0 = time.perf_counter()
+    for _ in range(n_sweeps):
+        for j in range(d):
+            f0 = logpost_from(beta[j], j, eta)
+            level = f0 + np.log(rng.uniform())
+            u = rng.uniform()
+            L, R = beta[j] - w * u, beta[j] - w * u + w
+            m = 128
+            jj = int(m * rng.uniform())
+            kk = m - 1 - jj
+            while jj > 0 and logpost_from(L, j, eta) > level:
+                L -= w
+                jj -= 1
+            while kk > 0 and logpost_from(R, j, eta) > level:
+                R += w
+                kk -= 1
+            for _ in range(64):
+                b1 = rng.uniform(L, R)
+                if logpost_from(b1, j, eta) >= level:
+                    break
+                if b1 < beta[j]:
+                    L = b1
+                else:
+                    R = b1
+            eta = eta + X[:, j] * (b1 - beta[j])
+            beta[j] = b1
+    dt = time.perf_counter() - t0
+    return n_sweeps / dt
+
+
+def main():
+    import jax
+
+    import mcmcglm_tpu as mg
+    from mcmcglm_tpu.datagen import generate_glm_data
+    from mcmcglm_tpu.diagnostics import ess
+
+    backend = jax.default_backend()
+    on_accel = backend != "cpu"
+    # BASELINE north-star config (scaled down on CPU so CI-ish runs finish)
+    if on_accel:
+        n, d, n_chains, burnin, timed_sweeps = 10_000, 1000, 64, 60, 150
+        np_sweeps = 2
+    else:
+        n, d, n_chains, burnin, timed_sweeps = 2000, 100, 8, 40, 100
+        np_sweeps = 3
+
+    X, y, _ = generate_glm_data("binomial", n=n, d=d, seed=0)
+
+    eng = mg.CGGibbs(
+        X,
+        y,
+        "binomial",
+        mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+        tuning={"w": 0.5},
+    )
+    state = eng.init(jax.random.key(0), n_chains)
+
+    t0 = time.perf_counter()
+    state, _, _ = eng.run(state, 1)  # compile
+    jax.block_until_ready(state)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state, _, _ = eng.run(state, burnin)
+    jax.block_until_ready(state)
+    burn_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state, betas, n_evals = eng.run(state, timed_sweeps)
+    jax.block_until_ready(betas)
+    timed_s = time.perf_counter() - t0
+
+    draws = np.asarray(betas)  # (C, K, d)
+    ess_all = ess(draws)
+    min_ess = float(np.min(ess_all))
+    med_ess = float(np.median(ess_all))
+    ess_per_sec = min_ess / timed_s
+
+    # ESS generated per (chain x sweep) — per-sweep mixing of this sampler.
+    ess_per_chain_sweep = min_ess / (n_chains * timed_sweeps)
+    np_rate = _numpy_baseline_sweep_rate(X, y, n_sweeps=np_sweeps)
+    baseline_ess_per_sec = ess_per_chain_sweep * np_rate
+    vs_baseline = ess_per_sec / baseline_ess_per_sec if baseline_ess_per_sec else None
+
+    print(
+        json.dumps(
+            {
+                "metric": f"min_ess_per_sec_p{d}_logistic_1chip",
+                "value": round(ess_per_sec, 3),
+                "unit": "ESS/s",
+                "vs_baseline": round(vs_baseline, 2),
+                "backend": backend,
+                "n": n,
+                "d": d,
+                "n_chains": n_chains,
+                "timed_sweeps": timed_sweeps,
+                "timed_seconds": round(timed_s, 3),
+                "compile_seconds": round(compile_s, 2),
+                "burnin_seconds": round(burn_s, 2),
+                "median_ess_per_sec": round(med_ess / timed_s, 3),
+                "sweeps_per_sec": round(timed_sweeps / timed_s, 3),
+                "slice_evals_per_sweep": round(float(np.mean(np.asarray(n_evals))), 2),
+                "baseline_proxy_sweeps_per_sec": round(np_rate, 4),
+                "baseline_proxy_ess_per_sec": round(baseline_ess_per_sec, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,2 @@
+from .mesh import CHAIN_AXIS, OBS_AXIS, make_mesh
+from .sharded_engine import ShardedCGGibbs

@@ -1,0 +1,105 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh (the TPU-pod
+analogue of a fake cluster backend; SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+import mcmcglm_tpu as mg
+from mcmcglm_tpu.parallel import ShardedCGGibbs, make_mesh
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    n, d = 203, 5  # deliberately not divisible by the obs axis -> padding
+    X = np.column_stack([np.ones(n), rng.normal(size=(n, d - 1))])
+    beta = rng.normal(size=d)
+    y = rng.normal(X @ beta, 1.0)
+    return X, y, beta
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+
+
+class TestShardedEngine:
+    @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+    def test_mesh_shapes_run(self, problem, shape):
+        X, y, _ = problem
+        mesh = make_mesh(*shape)
+        eng = ShardedCGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), X.shape[1]),
+            extra={"sd": 1.0}, tuning={"w": 0.5}, mesh=mesh,
+        )
+        state = eng.init(jax.random.key(0), 8)
+        state, betas, nev = eng.run(state, 10)
+        assert betas.shape == (8, 10, X.shape[1])
+        assert np.isfinite(np.asarray(betas)).all()
+
+    def test_sharded_matches_single_device(self, problem):
+        """The sharded run must be statistically identical to single-chip:
+        same posterior within MC error (bitwise equality is not expected —
+        reduction orders differ across shardings)."""
+        X, y, _ = problem
+        d = X.shape[1]
+        prior = mg.IIDPrior(mg.Normal(0, 1), d)
+
+        eng1 = mg.CGGibbs(X, y, "gaussian", prior, extra={"sd": 1.0}, tuning={"w": 0.5})
+        b1, _, _ = eng1.sample(jax.random.key(0), 300, n_chains=8)
+
+        mesh = make_mesh(2, 4)
+        eng2 = ShardedCGGibbs(
+            X, y, "gaussian", prior, extra={"sd": 1.0}, tuning={"w": 0.5}, mesh=mesh
+        )
+        b2, _, _ = eng2.sample(jax.random.key(0), 300, n_chains=8)
+
+        p1 = b1[:, 101:, :].reshape(-1, d)
+        p2 = b2[:, 101:, :].reshape(-1, d)
+        np.testing.assert_allclose(p1.mean(0), p2.mean(0), atol=0.08)
+        np.testing.assert_allclose(p1.std(0), p2.std(0), rtol=0.25)
+
+    def test_obs_padding_does_not_bias(self, problem):
+        """Padding rows (obs axis not divisible) must not change the
+        posterior: compare vs an exactly-divisible copy of the data."""
+        X, y, _ = problem
+        d = X.shape[1]
+        prior = mg.IIDPrior(mg.Normal(0, 1), d)
+        mesh = make_mesh(2, 4)
+        # n=203 on 4 obs shards -> 1 pad row
+        eng = ShardedCGGibbs(
+            X, y, "gaussian", prior, extra={"sd": 1.0}, tuning={"w": 0.5}, mesh=mesh
+        )
+        assert eng.Xt.shape[1] == 204
+        b, _, _ = eng.sample(jax.random.key(1), 300, n_chains=8)
+        post = b[:, 101:, :].reshape(-1, d)
+
+        prec = X.T @ X + np.eye(d)
+        mu = np.linalg.solve(prec, X.T @ y)
+        sd = np.sqrt(np.diag(np.linalg.inv(prec)))
+        np.testing.assert_allclose(
+            post.mean(0), mu, atol=float(5 * sd.max() / np.sqrt(100))
+        )
+
+    def test_chains_divisibility_error(self, problem):
+        X, y, _ = problem
+        eng = ShardedCGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), X.shape[1]),
+            extra={"sd": 1.0}, tuning={"w": 0.5}, mesh=make_mesh(4, 2),
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            eng.init(jax.random.key(0), 6)
+
+    def test_binomial_sharded(self):
+        rng = np.random.default_rng(3)
+        n, d = 400, 4
+        X = np.column_stack([np.ones(n), rng.normal(size=(n, d - 1))])
+        beta = np.array([0.3, 0.8, -0.5, 0.2])
+        y = rng.binomial(1, 1 / (1 + np.exp(-X @ beta))).astype(float)
+        eng = ShardedCGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0, 5), d),
+            tuning={"w": 1.0}, mesh=make_mesh(2, 4),
+        )
+        b, _, _ = eng.sample(jax.random.key(0), 300, n_chains=8)
+        post = b[:, 101:, :].reshape(-1, d)
+        np.testing.assert_allclose(post.mean(0), beta, atol=0.45)
