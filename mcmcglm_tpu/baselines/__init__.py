@@ -1,0 +1,4 @@
+from .advi import ADVIResult, advi_fit
+from .hmc import HMCResult, hmc_sample
+from .logdensity import make_log_posterior
+from .nuts import NUTSResult, nuts_sample
