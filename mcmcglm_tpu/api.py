@@ -56,6 +56,7 @@ def mcmcglm(
     chunk_size: int = 0,
     progress: bool = False,
     qslice_fun=None,
+    engine: str = "auto",
     **tuning,
 ) -> MCMCGLM:
     """Draw MCMC samples from a GLM posterior with the CGGibbs sampler.
@@ -80,6 +81,9 @@ def mcmcglm(
       ``qslice_fun``; that spelling is accepted as an alias).
     - ``**tuning`` — kernel tuning parameters, e.g. ``w=0.5`` for
       stepping_out (the reference's ``...`` passthrough, R/mcmcglm.R:155).
+    - ``engine`` — "xla" (default engine), "fused" (Pallas fused coordinate
+      kernel; TPU + iid prior + stepping_out only), or "auto" (fused when
+      eligible on TPU).
 
     Returns an :class:`MCMCGLM` with ``(n_chains, n_samples + 1, d)`` draws.
     """
@@ -116,21 +120,53 @@ def mcmcglm(
     slice_spec = qslice_fun if qslice_fun is not None else slice_fn
     kernel = get_slice_kernel(slice_spec) if sample_method == "slice_sampling" else None
 
-    config = EngineConfig(
-        sample_method=sample_method,
-        linear_predictor_calc=linear_predictor_calc,
-        slice_kernel=kernel if kernel is not None else "stepping_out",
-        dtype=dtype,
-    )
-    engine = CGGibbs(
-        design.X,
-        design.y,
-        fam,
-        prior,
-        extra=extra,
-        config=config,
-        tuning=tuning,
-    )
+    from .models.priors import IIDPrior
+    from .ops.pallas_cggibbs import MAX_FUSED_N
+
+    use_fused = False
+    if sample_method == "slice_sampling" and kernel is not None:
+        eligible = (
+            isinstance(prior, IIDPrior)
+            and kernel.name == "stepping_out"
+            and linear_predictor_calc == "update"
+            and -(-design.X.shape[0] // 128) * 128 <= MAX_FUSED_N
+            and n_chains % 8 == 0
+        )
+        if engine == "fused":
+            if not eligible:
+                raise ValueError(
+                    "engine='fused' requires stepping_out + iid prior + "
+                    "linear_predictor_calc='update', n within the VMEM budget, "
+                    "and n_chains a multiple of 8"
+                )
+            use_fused = True
+        elif engine == "auto":
+            use_fused = eligible and jax.default_backend() == "tpu"
+        elif engine != "xla":
+            raise ValueError("engine must be 'auto', 'xla' or 'fused'")
+
+    if use_fused:
+        from .fused import FusedCGGibbs
+
+        sampler = FusedCGGibbs(
+            design.X, design.y, fam, prior, extra=extra, tuning=tuning
+        )
+    else:
+        config = EngineConfig(
+            sample_method=sample_method,
+            linear_predictor_calc=linear_predictor_calc,
+            slice_kernel=kernel if kernel is not None else "stepping_out",
+            dtype=dtype,
+        )
+        sampler = CGGibbs(
+            design.X,
+            design.y,
+            fam,
+            prior,
+            extra=extra,
+            config=config,
+            tuning=tuning,
+        )
 
     progress_cb = None
     if progress:
@@ -141,13 +177,20 @@ def mcmcglm(
                   end="" if done < total else "\n", flush=True)
 
     t0 = time.perf_counter()
-    betas, n_evals, _ = engine.sample(
-        jax.random.key(seed),
-        n_samples,
-        n_chains=n_chains,
-        chunk_size=chunk_size,
-        progress=progress_cb,
-    )
+    if use_fused:
+        betas, n_evals, _ = sampler.sample(
+            jax.random.key(seed), n_samples, n_chains=n_chains,
+            chunk_size=chunk_size,
+        )
+        n_evals = np.broadcast_to(n_evals, (n_chains, n_samples))
+    else:
+        betas, n_evals, _ = sampler.sample(
+            jax.random.key(seed),
+            n_samples,
+            n_chains=n_chains,
+            chunk_size=chunk_size,
+            progress=progress_cb,
+        )
     elapsed = time.perf_counter() - t0
 
     return MCMCGLM(

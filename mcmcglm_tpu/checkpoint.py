@@ -1,0 +1,103 @@
+"""Checkpoint / resume for long sampling runs.
+
+The reference has NO checkpointing: it holds the entire per-iteration
+{beta, eta, mu} history in process memory and returns it at the end
+(R/mcmcglm.R:188,227,282-295) — a failed run loses everything.  Here the
+recovery unit is (chain state, collected samples, step counter), saved
+periodically with orbax; a restart resumes from the last step
+(SURVEY.md §5 'checkpoint/resume').
+
+Works for both CGGibbs ChainState and FusedCGGibbs FusedState (any pytree
+of arrays; typed PRNG keys are packed to raw key data on save and wrapped
+back on restore).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["CheckpointManager"]
+
+
+def _is_key(x) -> bool:
+    return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key)
+
+
+def _pack(tree):
+    """Typed PRNG keys -> raw uint32 key data (orbax can't store extended
+    dtypes)."""
+    return jax.tree.map(
+        lambda x: jax.random.key_data(x) if _is_key(x) else x, tree
+    )
+
+
+def _unpack(packed, template):
+    return jax.tree.map(
+        lambda t, x: jax.random.wrap_key_data(jnp.asarray(x)) if _is_key(t) else x,
+        template,
+        packed,
+    )
+
+
+class CheckpointManager:
+    """Thin orbax wrapper for sampler state + collected draws.
+
+    Layout: ``<directory>/<step>/`` orbax PyTree checkpoints of
+    ``{"state": <pytree>, "samples": <array>, "step": int}``.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state: Any, samples: Optional[np.ndarray] = None):
+        # orbax refuses zero-size arrays: encode absence with a flag + sentinel
+        has_samples = samples is not None
+        payload = {
+            "state": jax.device_get(_pack(state)),
+            "samples": np.asarray(samples) if has_samples else np.zeros((1,)),
+            "has_samples": np.asarray(int(has_samples)),
+            "step": np.asarray(step),
+        }
+        self._mgr.save(step, args=self._ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None):
+        """Returns (step, state, samples) or None if no checkpoint exists.
+
+        ``state_template`` is a pytree with the target structure (e.g. a
+        fresh ``engine.init(...)`` state) used to restore typed leaves,
+        including re-wrapping PRNG keys."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        template = {
+            "state": jax.device_get(_pack(state_template)),
+            "samples": np.zeros((1,)),
+            "has_samples": np.asarray(0),
+            "step": np.asarray(0),
+        }
+        payload = self._mgr.restore(step, args=self._ocp.args.StandardRestore(template))
+        state = _unpack(payload["state"], state_template)
+        samples = (
+            np.asarray(payload["samples"]) if int(payload["has_samples"]) else None
+        )
+        return int(payload["step"]), state, samples
+
+    def close(self):
+        self._mgr.close()

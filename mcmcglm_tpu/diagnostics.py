@@ -41,18 +41,32 @@ def _split_chains(x):
     return np.concatenate([x[:, :half], x[:, K - half :]], axis=0)
 
 
-def ess(samples) -> np.ndarray:
+_NATIVE_THRESHOLD = 2_000_000  # elements; below this numpy wins on startup cost
+
+
+def ess(samples, use_native: bool = True) -> np.ndarray:
     """Bulk effective sample size.
 
     samples: (chains, draws) or (chains, draws, params).
     Returns a scalar or (params,) array.
+
+    For large sample tensors (pod-scale pooled diagnostics) this dispatches
+    to the native C++ kernel (mcmcglm_tpu/native/hostutils.cpp) — OpenMP
+    over parameters with early lag termination; falls back to the numpy FFT
+    reference when no toolchain is available.
     """
     samples = np.asarray(samples, dtype=np.float64)
+    if samples.ndim not in (2, 3):
+        raise ValueError("samples must be (chains, draws[, params])")
+    if use_native and samples.size >= _NATIVE_THRESHOLD:
+        from . import native
+
+        out = native.ess_bulk(samples)
+        if out is not None:
+            return out if samples.ndim == 3 else float(out[0])
     if samples.ndim == 2:
         return _ess_1d(samples)
-    if samples.ndim == 3:
-        return np.array([_ess_1d(samples[:, :, p]) for p in range(samples.shape[2])])
-    raise ValueError("samples must be (chains, draws[, params])")
+    return np.array([_ess_1d(samples[:, :, p]) for p in range(samples.shape[2])])
 
 
 def _ess_1d(x) -> float:

@@ -309,6 +309,53 @@ class CGGibbs:
             self._run_cache[n_steps] = fn
         return fn(state)
 
+    def _run_one_thinned(self, state: ChainState, moments, n_outer: int, thin: int):
+        from .parallel.pooled import update_moments
+
+        def outer(carry, _):
+            state, mom = carry
+
+            def inner(c, _):
+                st, mm = c
+                st, (beta, nev) = self._sweep(st, None)
+                return (st, update_moments(mm, beta)), nev
+
+            (state, mom), nevs = lax.scan(inner, (state, mom), None, length=thin)
+            return (state, mom), (state.beta, jnp.sum(nevs))
+
+        (state, mom), (draws, nev) = lax.scan(
+            outer, (state, moments), None, length=n_outer
+        )
+        return state, mom, draws, nev
+
+    def run_thinned(self, state: ChainState, n_outer: int, thin: int, moments=None):
+        """Advance chains n_outer*thin sweeps keeping only every thin-th
+        draw, while accumulating per-chain Welford moments on device —
+        the pod-scale collection mode (parallel/pooled.py): memory is
+        O(C*(n_outer + 1)*d) instead of O(C*n_outer*thin*d).
+
+        Returns (state, moments, draws (C, n_outer, d), n_evals).
+        """
+        from .parallel.pooled import ChainMoments, init_moments
+
+        n_chains = state.beta.shape[0]
+        if moments is None:
+            m = init_moments(n_chains, self.d, self.config.dtype)
+            # per-chain moments ride the chain vmap as (d,) leaves
+            moments = ChainMoments(
+                count=jnp.zeros((n_chains,), self.config.dtype),
+                mean=m.mean,
+                m2=m.m2,
+            )
+        key_ = ("thinned", n_outer, thin)
+        fn = self._run_cache.get(key_)
+        if fn is None:
+            fn = jax.jit(
+                jax.vmap(partial(self._run_one_thinned, n_outer=n_outer, thin=thin))
+            )
+            self._run_cache[key_] = fn
+        return fn(state, moments)
+
     def sample(
         self,
         key,

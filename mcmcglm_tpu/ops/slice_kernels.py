@@ -57,6 +57,7 @@ __all__ = [
     "slice_elliptical",
     "slice_genelliptical",
     "slice_latent",
+    "slice_quantile",
 ]
 
 
@@ -449,6 +450,109 @@ def slice_latent(
 
 
 # --------------------------------------------------------------------------
+# Quantile slice sampler (Heiner, Johnson, Waller 2024 — the qslice paper's
+# own method, qslice::slice_quantile): transform through a pseudo-target's
+# CDF and shrink on the unit interval.
+# --------------------------------------------------------------------------
+
+def slice_quantile(
+    key,
+    x0,
+    log_target: Callable,
+    pseudo_loc=0.0,
+    pseudo_scale=1.0,
+    pseudo_family: str = "cauchy",
+    max_shrink: int = 64,
+    fx0=None,
+    state=None,
+) -> SliceResult:
+    """Quantile slice sampler with a normal or cauchy pseudo-target.
+
+    psi = pseudo pdf, F = pseudo CDF.  The transformed target on (0,1) is
+    h(u) = f(F^-1(u)) / psi(F^-1(u)); a shrinkage slice update on u with
+    initial bracket (0, 1) needs no tuning beyond the pseudo-target.  A
+    heavy-tailed cauchy pseudo-target is the safe default.
+    """
+    del state
+    dtype = jnp.result_type(x0, jnp.float32)
+    x0 = jnp.asarray(x0, dtype)
+    loc = jnp.asarray(pseudo_loc, dtype)
+    scale = jnp.asarray(pseudo_scale, dtype)
+    k_level, k_shrink = _split(key, 2)
+
+    if pseudo_family == "normal":
+        def cdf(x):
+            return jax.scipy.stats.norm.cdf(x, loc, scale)
+
+        def ppf(u):
+            return loc + scale * jax.scipy.special.ndtri(u)
+
+        def logpdf(x):
+            z = (x - loc) / scale
+            return -0.5 * z * z - jnp.log(scale) - jnp.asarray(
+                0.5 * math.log(2.0 * math.pi), dtype
+            )
+    elif pseudo_family == "cauchy":
+        def cdf(x):
+            return 0.5 + jnp.arctan((x - loc) / scale) / jnp.pi
+
+        def ppf(u):
+            return loc + scale * jnp.tan(jnp.pi * (u - 0.5))
+
+        def logpdf(x):
+            z = (x - loc) / scale
+            return -jnp.log(jnp.pi * scale * (1.0 + z * z))
+    else:
+        raise ValueError("pseudo_family must be 'normal' or 'cauchy'")
+
+    eps = jnp.asarray(1e-7, dtype)
+
+    def log_h_from_x(x, fx=None):
+        fx = log_target(x) if fx is None else fx
+        return fx - logpdf(x)
+
+    u0 = jnp.clip(cdf(x0), eps, 1.0 - eps)
+    if fx0 is None:
+        h0 = log_h_from_x(x0)
+        n_evals0 = jnp.asarray(1, jnp.int32)
+    else:
+        h0 = jnp.asarray(fx0, dtype) - logpdf(x0)
+        n_evals0 = jnp.asarray(0, jnp.int32)
+    level = _level_from(k_level, h0)
+
+    def cond(carry):
+        _, _, _, _, accepted, it, _ = carry
+        return (~accepted) & (it < max_shrink)
+
+    def body(carry):
+        lo, hi, _, _, _, it, key = carry
+        key, sub = _split(key, 2)
+        u1 = lo + (hi - lo) * jax.random.uniform(sub, (), dtype=dtype)
+        u1c = jnp.clip(u1, eps, 1.0 - eps)
+        x1 = ppf(u1c)
+        ok = log_h_from_x(x1) >= level
+        new_lo = jnp.where(~ok & (u1 < u0), u1, lo)
+        new_hi = jnp.where(~ok & (u1 >= u0), u1, hi)
+        return (new_lo, new_hi, x1, u1, ok, it + 1, key)
+
+    _, _, x1, _, accepted, n_it, _ = lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.zeros((), dtype),
+            jnp.ones((), dtype),
+            x0,
+            u0,
+            jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
+            k_shrink,
+        ),
+    )
+    x_new = jnp.where(accepted, x1, x0)
+    return SliceResult(x_new, n_evals0 + n_it, jnp.zeros((), dtype))
+
+
+# --------------------------------------------------------------------------
 # Registry — the pluggable slice-kernel story ("all functions are available",
 # R/mcmcglm.R:35-39) with required-tuning validation matching the reference's
 # argument check (R/mcmcglm.R:167-169).
@@ -499,6 +603,7 @@ register_slice_kernel(SliceKernel("elliptical", slice_elliptical, ("mu", "sigma"
 register_slice_kernel(
     SliceKernel("genelliptical", slice_genelliptical, ("mu", "sigma", "df"))
 )
+register_slice_kernel(SliceKernel("quantile", slice_quantile, ()))
 register_slice_kernel(
     SliceKernel(
         "latent",

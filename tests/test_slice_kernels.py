@@ -18,6 +18,7 @@ KER_PARAMS = [
     ("elliptical", {"mu": 0.0, "sigma": 2.0}),
     ("genelliptical", {"mu": 0.0, "sigma": 2.0, "df": 5.0}),
     ("latent", {"rate": 0.5}),
+    ("quantile", {"pseudo_loc": 0.0, "pseudo_scale": 2.0}),
 ]
 
 TARGETS = [
