@@ -43,6 +43,7 @@ from .models import (
     gaussian,
     get_link,
     inverse_gaussian,
+    log_density,
     log_likelihood,
     log_potential_from_betaj,
     make_beta_prior,

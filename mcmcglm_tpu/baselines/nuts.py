@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .hmc import _DAState, _da_init, _da_update
+from .hmc import _da_init, _da_update
 
 __all__ = ["nuts_sample", "NUTSResult"]
 

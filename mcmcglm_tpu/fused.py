@@ -25,7 +25,7 @@ from jax import lax
 
 from .models.families import check_family
 from .models.priors import IIDPrior
-from .ops.pallas_cggibbs import MAX_FUSED_N, make_fused_coord_update
+from .ops.pallas_cggibbs import MAX_FUSED_N, make_fused_coord_update, make_fused_sweep
 from .utils.linalg import matvec
 
 __all__ = ["FusedCGGibbs", "FusedState"]
@@ -53,6 +53,7 @@ class FusedCGGibbs:
         max_stepouts: int = 128,
         max_shrink: int = 64,
         interpret: Optional[bool] = None,
+        granularity: str = "sweep",
     ):
         if not isinstance(prior, IIDPrior):
             raise ValueError("FusedCGGibbs requires an IIDPrior; use CGGibbs otherwise")
@@ -74,6 +75,7 @@ class FusedCGGibbs:
         Xp = np.concatenate([X, np.zeros((pad, self.d), np.float32)], axis=0)
         yp = np.concatenate([np.asarray(y, np.float32).reshape(-1), np.zeros(pad, np.float32)])
         self.Xt = jnp.asarray(Xp.T)  # (d, n_padded)
+        self.Xt3 = self.Xt[:, None, :]  # (d, 1, n): batch-dim-sliceable form
         self.y = jnp.asarray(yp)
         # plain python floats: the Pallas kernel closure may not capture
         # traced/jax-array constants — scalars become in-kernel literals
@@ -84,6 +86,9 @@ class FusedCGGibbs:
         self.block_chains = block_chains
         self.max_stepouts = max_stepouts
         self.max_shrink = max_shrink
+        if granularity not in ("sweep", "coord"):
+            raise ValueError("granularity must be 'sweep' or 'coord'")
+        self.granularity = granularity
         self.interpret = (
             interpret if interpret is not None else jax.default_backend() == "cpu"
         )
@@ -98,16 +103,29 @@ class FusedCGGibbs:
     def _updater(self, n_chains):
         fn = self._update_cache.get(n_chains)
         if fn is None:
-            fn = make_fused_coord_update(
-                self._ld_eta,
-                self._prior_logpdf,
-                n_chains,
-                self.n_padded,
-                block_chains=self.block_chains,
-                max_stepouts=self.max_stepouts,
-                max_shrink=self.max_shrink,
-                interpret=self.interpret,
-            )
+            if self.granularity == "sweep":
+                fn = make_fused_sweep(
+                    self._ld_eta,
+                    self._prior_logpdf,
+                    n_chains,
+                    self.d,
+                    self.n_padded,
+                    block_chains=self.block_chains,
+                    max_stepouts=self.max_stepouts,
+                    max_shrink=self.max_shrink,
+                    interpret=self.interpret,
+                )
+            else:
+                fn = make_fused_coord_update(
+                    self._ld_eta,
+                    self._prior_logpdf,
+                    n_chains,
+                    self.n_padded,
+                    block_chains=self.block_chains,
+                    max_stepouts=self.max_stepouts,
+                    max_shrink=self.max_shrink,
+                    interpret=self.interpret,
+                )
             self._update_cache[n_chains] = fn
         return fn
 
@@ -131,6 +149,12 @@ class FusedCGGibbs:
 
     def _sweep(self, update, state: FusedState, _):
         w = jnp.float32(self.tuning["w"])
+        if self.granularity == "sweep":
+            eta, beta, nev = update(
+                state.eta, state.beta, self.Xt3, self.y, state.seed_ctr, w
+            )
+            new_state = FusedState(beta, eta, state.seed_ctr + 1, state.key)
+            return new_state, (beta, jnp.sum(nev))
 
         def coord(carry, xs):
             beta, eta, ctr = carry

@@ -10,6 +10,7 @@ from .families import (
 )
 from .links import Link, get_link, register_link
 from .potential import (
+    log_density,
     log_likelihood,
     log_potential_from_betaj,
     make_coord_target,

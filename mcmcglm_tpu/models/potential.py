@@ -39,11 +39,18 @@ from .families import Family, check_family
 from .priors import BetaPrior
 
 __all__ = [
+    "log_density",
     "update_linear_predictor",
     "log_likelihood",
     "log_potential_from_betaj",
     "make_coord_target",
 ]
+
+
+def log_density(family, mu, y, **extra):
+    """Per-observation log density dispatched on the family — parity with
+    the reference's exported S3 generic (R/glm_utils.R:24-57)."""
+    return check_family(family).log_density_mu(mu, y, extra)
 
 
 def update_linear_predictor(new_beta_j, current_beta_j, current_eta, x_j):

@@ -1,2 +1,3 @@
+from . import distributed, pooled
 from .mesh import CHAIN_AXIS, OBS_AXIS, make_mesh
 from .sharded_engine import ShardedCGGibbs

@@ -11,7 +11,7 @@ on TPU the default precision keeps the MXU on its fast path.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
 from jax import lax
 
 __all__ = ["matvec"]

@@ -1,0 +1,121 @@
+"""Run the BASELINE.json config matrix and emit one JSON line per config.
+
+Configs (BASELINE.md):
+  1. gaussian n=1000 p=3 (README example) — correctness anchor
+  2. logistic n=10k p=100, normal prior
+  3. poisson/log n=10k p=100, Laplace (sparse) prior
+  4. gaussian p=10k linear-runtime stress (reduced sweep count)
+  5. 4096 parallel chains of p=1000 logistic with pooled R-hat/ESS
+
+Run on TPU:  python scripts/baseline_configs.py
+CPU (small): env PYTHONPATH=. JAX_PLATFORMS=cpu python scripts/baseline_configs.py --small
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+import mcmcglm_tpu as mg
+from mcmcglm_tpu.datagen import generate_glm_data
+from mcmcglm_tpu.parallel.pooled import ChainMoments, pooled_summary
+
+
+def run_config(name, family, n, d, prior, w, n_chains, burnin, timed, extra=None):
+    X, y, beta_true = generate_glm_data(
+        family if family != "gaussian-readme" else "gaussian", n=n, d=d, seed=0
+    )
+    fam = "gaussian" if family.startswith("gaussian") else family
+    eng = mg.CGGibbs(X, y, fam, mg.make_beta_prior(prior, d), extra=extra or {},
+                     tuning={"w": w})
+    state = eng.init(jax.random.key(0), n_chains)
+    t0 = time.perf_counter()
+    state, b, _ = eng.run(state, 1)
+    jax.block_until_ready(b)
+    compile_s = time.perf_counter() - t0
+    state, b, _ = eng.run(state, burnin)
+    jax.block_until_ready(b)
+    t0 = time.perf_counter()
+    state, betas, nev = eng.run(state, timed)
+    jax.block_until_ready(betas)
+    dt = time.perf_counter() - t0
+    draws = np.asarray(betas)
+    ess = mg.ess(draws)
+    rhat = mg.split_rhat(draws)
+    err = np.abs(draws.reshape(-1, d).mean(0) - beta_true)
+    out = {
+        "config": name,
+        "family": fam,
+        "n": n,
+        "d": d,
+        "chains": n_chains,
+        "timed_sweeps": timed,
+        "seconds": round(dt, 2),
+        "compile_s": round(compile_s, 1),
+        "min_ess_per_s": round(float(np.min(ess)) / dt, 2),
+        "median_ess_per_s": round(float(np.median(ess)) / dt, 2),
+        "max_rhat": round(float(np.max(rhat)), 4),
+        "max_abs_mean_err": round(float(err.max()), 4),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def run_pooled_4096(n, d, n_chains, burnin, timed):
+    """Config #5: massive chain count with streaming pooled diagnostics."""
+    X, y, _ = generate_glm_data("binomial", n=n, d=d, seed=0)
+    eng = mg.CGGibbs(X, y, "binomial", mg.IIDPrior(mg.Normal(0, 1), d),
+                     tuning={"w": 0.5})
+    state = eng.init(jax.random.key(0), n_chains)
+    t0 = time.perf_counter()
+    state, b, _ = eng.run(state, 1)
+    jax.block_until_ready(b)
+    compile_s = time.perf_counter() - t0
+    state, b, _ = eng.run(state, burnin)
+    jax.block_until_ready(b)
+    t0 = time.perf_counter()
+    state, mom, draws, _ = eng.run_thinned(state, n_outer=timed, thin=2)
+    jax.block_until_ready(draws)
+    dt = time.perf_counter() - t0
+    summ = pooled_summary(ChainMoments(mom.count[0], mom.mean, mom.m2))
+    ess = mg.ess(np.asarray(draws))
+    out = {
+        "config": "pod_4096_chains_p%d_logistic" % d,
+        "chains": n_chains,
+        "sweeps": timed * 2,
+        "seconds": round(dt, 2),
+        "compile_s": round(compile_s, 1),
+        "chain_sweeps_per_s": round(n_chains * timed * 2 / dt, 1),
+        "pooled_max_rhat": round(float(np.max(np.asarray(summ["rhat"]))), 4),
+        "min_ess_per_s_thinned": round(float(np.min(ess)) / dt, 2),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+    s = args.small
+
+    run_config("readme_gaussian_n1000_p3", "gaussian", 1000, 3,
+               mg.Normal(0, 1), 0.5, 8 if s else 64, 100, 400,
+               extra={"sd": 1.0})
+    run_config("logistic_n10k_p100_normal", "binomial",
+               2000 if s else 10_000, 100, mg.Normal(0, 1), 0.5,
+               8 if s else 64, 60, 100)
+    run_config("poisson_n10k_p100_laplace", "poisson",
+               2000 if s else 10_000, 100, mg.Laplace(0, 1), 0.3,
+               8 if s else 64, 60, 100)
+    run_config("gaussian_p10k_stress", "gaussian",
+               1000 if s else 2000, 1000 if s else 10_000,
+               mg.Normal(0, 1), 0.5, 8, 5, 10, extra={"sd": 1.0})
+    run_pooled_4096(2000 if s else 10_000, 100 if s else 1000,
+                    64 if s else 4096, 20 if s else 50, 25 if s else 50)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,23 @@ class TestShardedEngine:
         b, _, _ = eng.sample(jax.random.key(0), 300, n_chains=8)
         post = b[:, 101:, :].reshape(-1, d)
         np.testing.assert_allclose(post.mean(0), beta, atol=0.45)
+
+
+class TestShardedChainTuning:
+    def test_per_chain_w_on_mesh(self, problem):
+        """Per-chain tuning arrays (the batched-sweep mechanism) must work
+        under the sharded engine: eval counts grow with the slice width."""
+        X, y, _ = problem
+        d = X.shape[1]
+        eng = ShardedCGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), d),
+            extra={"sd": 1.0}, mesh=make_mesh(4, 2),
+            chain_tuning_names=("w",),
+        )
+        ws = np.repeat([0.25, 4.0], 4).astype(np.float32)
+        b, nev, _ = eng.sample(
+            jax.random.key(0), 100, n_chains=8, chain_tuning={"w": ws}
+        )
+        assert np.isfinite(b).all()
+        # wider slices -> more evaluations per sweep
+        assert nev[4:].mean() > nev[:4].mean()
