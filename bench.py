@@ -84,7 +84,10 @@ def main():
     on_accel = backend != "cpu"
     # BASELINE north-star config (scaled down on CPU so CI-ish runs finish)
     if on_accel:
-        n, d, n_chains, burnin, timed_sweeps = 10_000, 1000, 64, 60, 150
+        # C=256 is the measured single-chip throughput peak for the XLA
+        # engine on v5e (round-1 scaling study: 177/371/201 chain-sweeps/s
+        # at C=64/256/512)
+        n, d, n_chains, burnin, timed_sweeps = 10_000, 1000, 256, 60, 120
         np_sweeps = 2
     else:
         n, d, n_chains, burnin, timed_sweeps = 2000, 100, 8, 40, 100
@@ -106,17 +109,32 @@ def main():
     jax.block_until_ready(state)
     compile_s = time.perf_counter() - t0
 
+    # chunk dispatches: long single executions can exceed remote-runtime
+    # RPC deadlines (observed as UNAVAILABLE device errors)
+    chunk = 30
     t0 = time.perf_counter()
-    state, _, _ = eng.run(state, burnin)
-    jax.block_until_ready(state)
+    done = 0
+    while done < burnin:
+        step = min(chunk, burnin - done)
+        state, _, _ = eng.run(state, step)
+        jax.block_until_ready(state)
+        done += step
     burn_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    state, betas, n_evals = eng.run(state, timed_sweeps)
-    jax.block_until_ready(betas)
+    parts = []
+    nev_parts = []
+    done = 0
+    while done < timed_sweeps:
+        step = min(chunk, timed_sweeps - done)
+        state, betas, n_evals = eng.run(state, step)
+        parts.append(np.asarray(betas))
+        nev_parts.append(np.asarray(n_evals))
+        done += step
     timed_s = time.perf_counter() - t0
 
-    draws = np.asarray(betas)  # (C, K, d)
+    draws = np.concatenate(parts, axis=1)  # (C, K, d)
+    n_evals = np.concatenate(nev_parts, axis=1)
     ess_all = ess(draws)
     min_ess = float(np.min(ess_all))
     med_ess = float(np.median(ess_all))

@@ -57,6 +57,7 @@ def mcmcglm(
     progress: bool = False,
     qslice_fun=None,
     engine: str = "auto",
+    adapt_w: bool = False,
     **tuning,
 ) -> MCMCGLM:
     """Draw MCMC samples from a GLM posterior with the CGGibbs sampler.
@@ -81,9 +82,17 @@ def mcmcglm(
       ``qslice_fun``; that spelling is accepted as an alias).
     - ``**tuning`` — kernel tuning parameters, e.g. ``w=0.5`` for
       stepping_out (the reference's ``...`` passthrough, R/mcmcglm.R:155).
-    - ``engine`` — "xla" (default engine), "fused" (Pallas fused coordinate
-      kernel; TPU + iid prior + stepping_out only), or "auto" (fused when
-      eligible on TPU).
+    - ``adapt_w`` — tune a per-(chain, coordinate) stepping-out slice width
+      during burn-in (Robbins-Monro toward ~3x the typical accepted move),
+      then sample with the widths frozen.  Cuts the lockstep slice-eval
+      count dramatically when w is mis-specified (measured 8318 -> 504
+      evals/sweep from w=0.01 on a p=100 logistic model); the reference has
+      no adaptation at all (w is a raw tuning parameter, R/mcmcglm.R:40-41).
+    - ``engine`` — "auto"/"xla" (the scan/while XLA engine — measured
+      fastest on TPU v5e in round-1 benchmarks) or "fused" (experimental
+      whole-sweep Pallas kernel; TPU + iid prior + stepping_out only;
+      round-1 measurement: ~0.83x the XLA engine's throughput at C=256 —
+      kept for kernel-level experimentation, not yet the default).
 
     Returns an :class:`MCMCGLM` with ``(n_chains, n_samples + 1, d)`` draws.
     """
@@ -141,7 +150,10 @@ def mcmcglm(
                 )
             use_fused = True
         elif engine == "auto":
-            use_fused = eligible and jax.default_backend() == "tpu"
+            # round-1 measurements: the XLA engine outperforms the fused
+            # Pallas path on v5e (371 vs 308 chain-sweeps/s at C=256,
+            # p=1000 logistic) — auto resolves to xla until the kernel wins
+            use_fused = False
         elif engine != "xla":
             raise ValueError("engine must be 'auto', 'xla' or 'fused'")
 
@@ -183,6 +195,18 @@ def mcmcglm(
             chunk_size=chunk_size,
         )
         n_evals = np.broadcast_to(n_evals, (n_chains, n_samples))
+    elif adapt_w and sample_method == "slice_sampling":
+        # adaptive burn-in, then frozen-width sampling
+        state = sampler.init(jax.random.key(seed), n_chains)
+        init_beta = np.asarray(state.beta)[:, None, :]
+        state, warm_betas, warm_nev = sampler.warmup(state, burnin)
+        state, samp_betas, samp_nev = sampler.run(state, n_samples - burnin)
+        betas = np.concatenate(
+            [init_beta, np.asarray(warm_betas), np.asarray(samp_betas)], axis=1
+        )
+        n_evals = np.concatenate(
+            [np.asarray(warm_nev), np.asarray(samp_nev)], axis=1
+        )
     else:
         betas, n_evals, _ = sampler.sample(
             jax.random.key(seed),

@@ -153,6 +153,8 @@ class CGGibbs:
         )
         self._init_jit = jax.jit(jax.vmap(self._init_one))
         self._run_cache: dict = {}
+        self._w_adapted = False  # set by warmup(): kernel_state carries log w
+        self._adapt_rate = 0.08
 
     # -- initialisation ----------------------------------------------------
 
@@ -224,11 +226,17 @@ class CGGibbs:
 
     # -- the sweep ---------------------------------------------------------
 
-    def _coord_step(self, carry, xs):
+    def _coord_step(self, carry, xs, adapt=False):
         beta, eta, ld, kstate, key, chain_tuning = carry
         j, x_j = xs
         key, sub = jax.random.split(key)
         tuning = {**self.tuning, **chain_tuning}
+        adaptive_w = adapt or self._w_adapted
+        if adaptive_w and self.kernel is not None and self.kernel.name == "stepping_out":
+            # per-coordinate slice width lives in the kernel-state slot as
+            # log w (see warmup()); frozen after adaptation
+            tuning = dict(tuning)
+            tuning["w"] = jnp.exp(kstate[j])
 
         if self.config.sample_method == "normal-normal":
             b_new = self._conjugate_draw(sub, beta, j)
@@ -262,6 +270,17 @@ class CGGibbs:
             n_evals = res.n_evals
             kstate = kstate.at[j].set(jnp.asarray(res.state, kstate.dtype))
 
+        if adapt and self.kernel is not None and self.kernel.name == "stepping_out":
+            # Robbins-Monro in log space: pull w toward ~3x the typical
+            # accepted move size (the slice width that keeps step-out and
+            # shrinkage iterations both small).  Only during warmup —
+            # adaptation during sampling would break detailed balance.
+            move = jnp.abs(b_new - beta[j])
+            target = jnp.log(3.0 * move + 1e-6)
+            kstate = kstate.at[j].set(
+                (1.0 - self._adapt_rate) * kstate[j] + self._adapt_rate * target
+            )
+
         # Commit: incremental O(n) eta update (R/mcmcglm.R:264-269) and
         # refresh of the cached per-observation log densities.
         eta = eta + x_j * (b_new - beta[j])
@@ -269,7 +288,7 @@ class CGGibbs:
         ld = self.family.log_density_eta(eta, self.y, self.extra)
         return (beta, eta, ld, kstate, key, chain_tuning), n_evals
 
-    def _sweep(self, state: ChainState, _):
+    def _sweep(self, state: ChainState, _, adapt=False):
         carry = (
             state.beta,
             state.eta,
@@ -279,7 +298,9 @@ class CGGibbs:
             state.chain_tuning,
         )
         xs = (jnp.arange(self.d), self.Xt)
-        carry, n_evals = lax.scan(self._coord_step, carry, xs)
+        carry, n_evals = lax.scan(
+            partial(self._coord_step, adapt=adapt), carry, xs
+        )
         new_state = ChainState(*carry)
         return new_state, (new_state.beta, jnp.sum(n_evals))
 
@@ -290,9 +311,9 @@ class CGGibbs:
 
     # -- multi-sweep runs --------------------------------------------------
 
-    def _run_one(self, state: ChainState, n_steps: int):
+    def _run_one(self, state: ChainState, n_steps: int, adapt: bool = False):
         state, (betas, n_evals) = lax.scan(
-            self._sweep, state, None, length=n_steps
+            partial(self._sweep, adapt=adapt), state, None, length=n_steps
         )
         return state, betas, n_evals
 
@@ -303,10 +324,44 @@ class CGGibbs:
         (chains, n_steps, d) and n_evals of shape (chains, n_steps).
         Compiled once per distinct n_steps.
         """
-        fn = self._run_cache.get(n_steps)
+        key_ = (n_steps, self._w_adapted)
+        fn = self._run_cache.get(key_)
         if fn is None:
             fn = jax.jit(jax.vmap(partial(self._run_one, n_steps=n_steps)))
-            self._run_cache[n_steps] = fn
+            self._run_cache[key_] = fn
+        return fn(state)
+
+    def warmup(self, state: ChainState, n_steps: int):
+        """Adaptive warmup: runs ``n_steps`` sweeps while tuning a
+        per-(chain, coordinate) stepping-out slice width toward ~3x the
+        typical accepted move (Robbins-Monro in log space, carried in the
+        kernel-state slot).  After this call the engine samples with the
+        tuned, FROZEN widths (adaptation during sampling would break
+        detailed balance).  Only supported for the stepping_out kernel;
+        a no-op otherwise.
+
+        The reference has no adaptation at all — w is a fixed user tuning
+        parameter (R/mcmcglm.R:40-41); adaptive widths cut the lockstep
+        slice-evaluation count across vmapped chains, which is the dominant
+        cost term on TPU.
+        """
+        if self.kernel is None or self.kernel.name != "stepping_out":
+            state, betas, nev = self.run(state, n_steps)
+            return state, betas, nev
+        if not self._w_adapted:
+            # seed log-w state from the static tuning w
+            w0 = jnp.asarray(self.tuning.get("w", 1.0), self.config.dtype)
+            state = state._replace(
+                kernel_state=jnp.full_like(state.kernel_state, jnp.log(w0))
+            )
+            self._w_adapted = True
+        key_ = (n_steps, "warmup")
+        fn = self._run_cache.get(key_)
+        if fn is None:
+            fn = jax.jit(
+                jax.vmap(partial(self._run_one, n_steps=n_steps, adapt=True))
+            )
+            self._run_cache[key_] = fn
         return fn(state)
 
     def _run_one_thinned(self, state: ChainState, moments, n_outer: int, thin: int):

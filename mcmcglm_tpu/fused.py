@@ -1,4 +1,12 @@
-"""FusedCGGibbs: the CGGibbs engine driven by the Pallas coordinate kernel.
+"""FusedCGGibbs: the CGGibbs engine driven by fused Pallas kernels.
+
+STATUS (round 1, TPU v5e, p=1000 logistic n=10k): measured ~0.83x the XLA
+engine's warm throughput (308 vs 371 chain-sweeps/s at C=256, block=8;
+block=16 is slower, block>=32 crashes the Mosaic compile with a 40 MB MLIR
+payload).  The per-while-iteration fixed cost inside Mosaic currently
+dominates the HBM-traffic savings this kernel was built for, so the XLA
+engine remains the default; this path is kept as the kernel-optimisation
+vehicle (see ops/pallas_cggibbs.py for the measured design notes).
 
 Engine variant where each coordinate update is one fused Pallas kernel call
 (ops/pallas_cggibbs.py) over the whole chain batch: eta lives in VMEM for
