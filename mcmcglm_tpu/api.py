@@ -231,4 +231,5 @@ def mcmcglm(
         formula=design.formula,
         call=call,
         elapsed_seconds=elapsed,
+        family=fam,
     )

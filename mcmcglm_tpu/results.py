@@ -50,6 +50,7 @@ class MCMCGLM:
     formula: Optional[str] = None
     call: Optional[str] = None
     elapsed_seconds: Optional[float] = None
+    family: Optional[Any] = None  # the fitted Family object (keeps the link)
 
     # -- core accessors ----------------------------------------------------
 
@@ -112,6 +113,42 @@ class MCMCGLM:
         for p in probs:
             out[f"q_{str(p).replace('0.', '')}"] = np.quantile(post, p, axis=0)
         return pd.DataFrame(out)
+
+    # -- posterior prediction (beyond the reference) -----------------------
+
+    def predict(self, X_new=None, kind: str = "mean", n_draws: int = 0, seed: int = 0):
+        """Posterior draws of the GLM mean mu = linkinv(X beta) at new
+        design points (the reference has no predict method).
+
+        kind="link" returns draws of eta; "mean" returns linkinv(eta).
+        Returns an array of shape (n_posterior_draws, n_new) using all
+        post-burn-in draws (or a random subsample of ``n_draws`` > 0).
+        """
+
+        if X_new is None:
+            if self.model_matrix is None:
+                raise ValueError("no stored model matrix; pass X_new")
+            X_new = self.model_matrix
+        X_new = np.asarray(X_new, dtype=np.float64)
+        post = self.post_burnin().reshape(-1, self.d)
+        if n_draws and n_draws < post.shape[0]:
+            idx = np.random.default_rng(seed).choice(
+                post.shape[0], n_draws, replace=False
+            )
+            post = post[idx]
+        eta = post @ X_new.T  # (draws, n_new)
+        if kind == "link":
+            return eta
+        if kind != "mean":
+            raise ValueError("kind must be 'mean' or 'link'")
+        fam = self.family
+        if fam is None:
+            from .models.families import check_family
+
+            fam = check_family(self.family_name)  # default link fallback
+        import jax.numpy as jnp
+
+        return np.asarray(fam.linkinv(jnp.asarray(eta, jnp.float64)))
 
     # -- diagnostics beyond the reference ---------------------------------
 

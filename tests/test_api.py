@@ -127,3 +127,43 @@ class TestAPIOptions:
     def test_missing_data(self):
         with pytest.raises(ValueError, match="data"):
             mg.mcmcglm(formula="Y ~ X", w=0.5)
+
+
+class TestPredict:
+    def test_mean_prediction(self, fit, dat_norm):
+        pred = fit.predict()
+        assert pred.shape == (4 * 400, len(dat_norm))
+        # posterior-mean prediction close to the true linear predictor
+        truth = 1.0 + 1.5 * dat_norm.X1.values + 2.0 * dat_norm.X2.values
+        err = np.abs(pred.mean(0) - truth)
+        assert float(np.quantile(err, 0.95)) < 0.3
+
+    def test_link_vs_mean_logistic(self):
+        rng = np.random.default_rng(0)
+        n = 500
+        X = np.column_stack([np.ones(n), rng.normal(size=n)])
+        y = rng.binomial(1, 1 / (1 + np.exp(-X @ [0.3, 0.9]))).astype(float)
+        fit = mg.mcmcglm(family="binomial", X=X, y=y, n_samples=100,
+                         burnin=30, w=0.8, seed=1)
+        mu = fit.predict(X[:5], kind="mean")
+        eta = fit.predict(X[:5], kind="link")
+        np.testing.assert_allclose(mu, 1 / (1 + np.exp(-eta)), rtol=1e-5)
+        assert ((mu > 0) & (mu < 1)).all()
+
+    def test_subsample(self, fit):
+        pred = fit.predict(n_draws=50, seed=2)
+        assert pred.shape[0] == 50
+
+    def test_predict_respects_link(self):
+        """predict must use the FITTED link, not the family default
+        (probit fit must not silently predict through logit)."""
+        rng = np.random.default_rng(4)
+        n = 600
+        X = np.column_stack([np.ones(n), rng.normal(size=n)])
+        from scipy.stats import norm as _norm
+        y = rng.binomial(1, _norm.cdf(X @ [0.3, 0.9])).astype(float)
+        fit = mg.mcmcglm(family=mg.binomial(link="probit"), X=X, y=y,
+                         n_samples=100, burnin=30, w=0.8, seed=5)
+        eta = fit.predict(X[:8], kind="link")
+        mu = fit.predict(X[:8], kind="mean")
+        np.testing.assert_allclose(mu, _norm.cdf(eta), atol=1e-5)
