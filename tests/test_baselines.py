@@ -112,3 +112,49 @@ class TestADVI:
         )
         s = res.sample(jax.random.key(1), 64)
         assert s.shape == (64, 4)
+
+
+class TestEllipticalSliceMV:
+    """Whole-vector elliptical slice sampling (qslice's slice_elliptical_mv
+    analogue) — must reproduce closed-form gaussian posteriors exactly."""
+
+    def test_gaussian_posterior(self, gaussian_problem):
+        from mcmcglm_tpu.baselines import EllipticalSliceGLM
+
+        X, y, mu, cov = gaussian_problem
+        d = X.shape[1]
+        eng = EllipticalSliceGLM(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+            extra={"sd": 1.0},
+        )
+        betas, nev, _ = eng.sample(jax.random.key(0), 4000, n_chains=8)
+        post = betas[:, 1500:, :].reshape(-1, d)
+        sd = np.sqrt(np.diag(cov))
+        np.testing.assert_allclose(post.mean(0), mu, atol=float(6 * sd.max() / 30))
+        np.testing.assert_allclose(post.std(0), sd, rtol=0.25)
+        assert float(np.asarray(nev).mean()) < 20
+
+    def test_mvn_prior(self):
+        from mcmcglm_tpu.baselines import EllipticalSliceGLM
+
+        rng = np.random.default_rng(5)
+        n, d = 40, 3
+        X = np.column_stack([np.ones(n), rng.normal(size=(n, 2))])
+        y = rng.normal(X @ [0.5, -0.2, 0.3], 2.0)
+        cov0 = np.array([[1.0, 0.4, 0.0], [0.4, 1.0, 0.0], [0.0, 0.0, 2.0]])
+        prior = mg.MVNPrior(np.zeros(3), cov0)
+        eng = EllipticalSliceGLM(X, y, "gaussian", prior, extra={"sd": 2.0})
+        betas, _, _ = eng.sample(jax.random.key(1), 3000, n_chains=8)
+        post = betas[:, 500:, :].reshape(-1, d)
+        prec = X.T @ X / 4 + np.linalg.inv(cov0)
+        mu = np.linalg.solve(prec, X.T @ y / 4)
+        sd = np.sqrt(np.diag(np.linalg.inv(prec)))
+        np.testing.assert_allclose(post.mean(0), mu, atol=float(6 * sd.max() / 30))
+
+    def test_requires_gaussian_prior(self):
+        from mcmcglm_tpu.baselines import EllipticalSliceGLM
+
+        X = np.ones((10, 2))
+        with pytest.raises(ValueError, match="gaussian prior"):
+            EllipticalSliceGLM(X, np.zeros(10), "gaussian",
+                               mg.IIDPrior(mg.Laplace(0, 1), 2))
