@@ -40,6 +40,7 @@ from .models import (
     Uniform,
     binomial,
     check_family,
+    gamma,
     gaussian,
     get_link,
     inverse_gaussian,

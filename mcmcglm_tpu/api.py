@@ -58,6 +58,7 @@ def mcmcglm(
     qslice_fun=None,
     engine: str = "auto",
     adapt_w: bool = False,
+    weights=None,
     **tuning,
 ) -> MCMCGLM:
     """Draw MCMC samples from a GLM posterior with the CGGibbs sampler.
@@ -178,6 +179,7 @@ def mcmcglm(
             extra=extra,
             config=config,
             tuning=tuning,
+            obs_weights=weights,
         )
 
     progress_cb = None

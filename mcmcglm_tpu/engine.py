@@ -112,6 +112,7 @@ class CGGibbs:
         tuning: Optional[Mapping] = None,
         reduce_fn=None,
         chain_tuning_names: tuple = (),
+        obs_weights=None,
     ):
         self.config = config
         dtype = config.dtype
@@ -127,6 +128,17 @@ class CGGibbs:
         self.y = jnp.asarray(y, dtype).reshape(-1)
         self.extra = {k: jnp.asarray(v, dtype) for k, v in dict(extra or {}).items()}
         self.tuning = {k: jnp.asarray(v, dtype) for k, v in dict(tuning or {}).items()}
+        if obs_weights is not None:
+            w = jnp.asarray(obs_weights, dtype).reshape(-1)
+            if w.shape[0] != self.n:
+                raise ValueError(
+                    f"obs_weights length {w.shape[0]} != n observations {self.n}"
+                )
+            self.obs_weights = w
+            if reduce_fn is None:
+                reduce_fn = lambda t: jnp.sum(t * w, axis=-1)  # noqa: E731
+        else:
+            self.obs_weights = None
         self.reduce_fn = reduce_fn or (lambda t: jnp.sum(t, axis=-1))
 
         if config.sample_method == "slice_sampling":
@@ -204,9 +216,16 @@ class CGGibbs:
         y = self.y.astype(dtype)
         sigma = jnp.asarray(self.extra.get("sd", 1.0), dtype)
         cov_prior = jnp.asarray(self.prior.cov_beta(), dtype)
-        prec_post = X.T @ X / sigma**2 + jnp.linalg.inv(cov_prior)
+        if self.obs_weights is not None:
+            W = self.obs_weights.astype(dtype)
+            XtWX = (X * W[:, None]).T @ X
+            XtWy = X.T @ (W * y)
+        else:
+            XtWX = X.T @ X
+            XtWy = X.T @ y
+        prec_post = XtWX / sigma**2 + jnp.linalg.inv(cov_prior)
         cov_post = jnp.linalg.inv(prec_post)
-        mu_post = cov_post @ (X.T @ y) / sigma**2
+        mu_post = cov_post @ XtWy / sigma**2
         self._conj_mu = mu_post.astype(self.config.dtype)
         self._conj_prec = prec_post.astype(self.config.dtype)
 

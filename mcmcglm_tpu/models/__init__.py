@@ -2,6 +2,7 @@ from .families import (
     Family,
     binomial,
     check_family,
+    gamma,
     gaussian,
     inverse_gaussian,
     negative_binomial,

@@ -47,6 +47,7 @@ __all__ = [
     "binomial",
     "poisson",
     "negative_binomial",
+    "gamma",
     "inverse_gaussian",
     "FAMILIES",
 ]
@@ -260,6 +261,47 @@ def negative_binomial(link="log") -> Family:
 
 
 # --------------------------------------------------------------------------
+# Gamma  (standard R family; not in the reference's method set but part of
+# the stats::family universe its check_family accepts — completes coverage)
+# --------------------------------------------------------------------------
+
+def _gamma_logpdf(mu, y, extra):
+    # shape k (R Gamma glm dispersion = 1/k); mean parametrisation:
+    # f(y; mu, k) = (k/mu)^k y^(k-1) exp(-k y / mu) / Gamma(k)
+    dtype = jnp.result_type(mu)
+    k = jnp.asarray(extra.get("shape", 1.0), dtype)
+    eps = jnp.finfo(dtype).tiny
+    mu = jnp.maximum(mu, eps)
+    return (
+        k * (jnp.log(k) - jnp.log(mu))
+        + (k - 1.0) * jnp.log(y)
+        - k * y / mu
+        - jax.lax.lgamma(k)
+    )
+
+
+def _gamma_log_eta(eta, y, extra):
+    # mu = exp(eta): k(log k - eta) + (k-1) log y - k y exp(-eta) - lgamma(k)
+    dtype = jnp.result_type(eta)
+    k = jnp.asarray(extra.get("shape", 1.0), dtype)
+    return (
+        k * (jnp.log(k) - eta)
+        + (k - 1.0) * jnp.log(y)
+        - k * y * jnp.exp(-eta)
+        - jax.lax.lgamma(k)
+    )
+
+
+def gamma(link="inverse") -> Family:
+    return Family(
+        name="Gamma",
+        link=get_link(link),
+        log_density=_gamma_logpdf,
+        _eta_paths={"log": _gamma_log_eta},
+    )
+
+
+# --------------------------------------------------------------------------
 # Inverse gaussian  (reference extension recipe: customising.Rmd:53-68,
 #   statmod::dinvgauss(Y, mean=mu, shape, dispersion, log=T))
 # --------------------------------------------------------------------------
@@ -288,6 +330,8 @@ def inverse_gaussian(link="1/mu^2") -> Family:
     )
 
 
+register_family("Gamma", gamma)
+register_family("gamma", gamma)
 register_family("gaussian", gaussian)
 register_family("binomial", binomial)
 register_family("poisson", poisson)

@@ -12,6 +12,7 @@ from scipy.special import expit
 from mcmcglm_tpu.models import (
     binomial,
     check_family,
+    gamma,
     gaussian,
     get_link,
     inverse_gaussian,
@@ -100,6 +101,13 @@ class TestLogDensities:
         )
         _assert_close(got, st.nbinom.logpmf(y.astype(int), r, p))
 
+    def test_gamma(self):
+        y = np.array([0.5, 1.2, 3.0])
+        mu = np.array([1.0, 2.0, 1.5])
+        k = 2.5
+        got = gamma().log_density_mu(jnp.asarray(mu), jnp.asarray(y), {"shape": k})
+        _assert_close(got, st.gamma.logpdf(y, k, scale=mu / k), rtol=1e-5)
+
     def test_inverse_gaussian(self):
         y = np.array([0.5, 1.0, 2.5])
         mu = np.array([1.0, 1.5, 2.0])
@@ -128,6 +136,7 @@ class TestEtaFusedPaths:
             (binomial, "cloglog", (np.arange(31) % 2).astype(float)),
             (poisson, "log", np.arange(31).astype(float) % 7),
             (negative_binomial, "log", np.arange(31).astype(float) % 5),
+            (gamma, "log", np.linspace(0.2, 4.0, 31)),
         ],
     )
     def test_fused_matches_composed(self, fam, link, y):
