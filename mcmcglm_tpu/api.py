@@ -183,6 +183,8 @@ def mcmcglm(
         )
 
     progress_cb = None
+    if progress and chunk_size <= 0:
+        chunk_size = max(1, n_samples // 10)
     if progress:
 
         def progress_cb(done, total):  # noqa: ANN001

@@ -114,6 +114,12 @@ class MCMCGLM:
             out[f"q_{str(p).replace('0.', '')}"] = np.quantile(post, p, axis=0)
         return pd.DataFrame(out)
 
+    def summary(self, probs: Sequence[float] = (0.025, 0.5, 0.975)):
+        """quantile() plus per-parameter ESS and split-R-hat columns."""
+        from .diagnostics import summarize
+
+        return summarize(self.post_burnin(), columns=self.columns, probs=probs)
+
     # -- posterior prediction (beyond the reference) -----------------------
 
     def predict(self, X_new=None, kind: str = "mean", n_draws: int = 0, seed: int = 0):

@@ -35,13 +35,28 @@ def run_config(name, family, n, d, prior, w, n_chains, burnin, timed, extra=None
     state, b, _ = eng.run(state, 1)
     jax.block_until_ready(b)
     compile_s = time.perf_counter() - t0
-    state, b, _ = eng.run(state, burnin)
-    jax.block_until_ready(b)
+
+    # chunked dispatches: long executions can exceed remote-runtime deadlines
+    chunk = max(1, min(30, 7680 // n_chains))  # keep each dispatch under ~60s
+    done = 0
+    while done < burnin:
+        step = min(chunk, burnin - done)
+        state, b, _ = eng.run(state, step)
+        jax.block_until_ready(b)
+        done += step
     t0 = time.perf_counter()
-    state, betas, nev = eng.run(state, timed)
-    jax.block_until_ready(betas)
+    parts = []
+    nevs = []
+    done = 0
+    while done < timed:
+        step = min(chunk, timed - done)
+        state, betas, nev = eng.run(state, step)
+        parts.append(np.asarray(betas))
+        nevs.append(np.asarray(nev))
+        done += step
     dt = time.perf_counter() - t0
-    draws = np.asarray(betas)
+    draws = np.concatenate(parts, axis=1)
+    nev = np.concatenate(nevs, axis=1)
     ess = mg.ess(draws)
     rhat = mg.split_rhat(draws)
     err = np.abs(draws.reshape(-1, d).mean(0) - beta_true)
@@ -73,12 +88,25 @@ def run_pooled_4096(n, d, n_chains, burnin, timed):
     state, b, _ = eng.run(state, 1)
     jax.block_until_ready(b)
     compile_s = time.perf_counter() - t0
-    state, b, _ = eng.run(state, burnin)
-    jax.block_until_ready(b)
+    chunk = max(1, min(30, 7680 // n_chains))
+    done = 0
+    while done < burnin:
+        step = min(chunk, burnin - done)
+        state, b, _ = eng.run(state, step)
+        jax.block_until_ready(b)
+        done += step
     t0 = time.perf_counter()
-    state, mom, draws, _ = eng.run_thinned(state, n_outer=timed, thin=2)
-    jax.block_until_ready(draws)
+    mom = None
+    dparts = []
+    done = 0
+    while done < timed:
+        step = min(max(chunk // 2, 1), timed - done)  # x2 sweeps per outer step
+        state, mom, draws, _ = eng.run_thinned(state, n_outer=step, thin=2, moments=mom)
+        dparts.append(np.asarray(draws))
+        done += step
+    jax.block_until_ready(state)
     dt = time.perf_counter() - t0
+    draws = np.concatenate(dparts, axis=1)
     summ = pooled_summary(ChainMoments(mom.count[0], mom.mean, mom.m2))
     ess = mg.ess(np.asarray(draws))
     out = {
@@ -114,7 +142,7 @@ def main():
                1000 if s else 2000, 1000 if s else 10_000,
                mg.Normal(0, 1), 0.5, 8, 5, 10, extra={"sd": 1.0})
     run_pooled_4096(2000 if s else 10_000, 100 if s else 1000,
-                    64 if s else 4096, 20 if s else 50, 25 if s else 50)
+                    64 if s else 4096, 20 if s else 30, 25 if s else 30)
 
 
 if __name__ == "__main__":

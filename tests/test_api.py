@@ -167,3 +167,10 @@ class TestPredict:
         eta = fit.predict(X[:8], kind="link")
         mu = fit.predict(X[:8], kind="mean")
         np.testing.assert_allclose(mu, _norm.cdf(eta), atol=1e-5)
+
+
+def test_summary_has_diagnostics(fit):
+    s = fit.summary()
+    assert {"var", "mean", "ess", "rhat"} <= set(s.columns)
+    assert len(s) == 3
+    assert (s["rhat"] < 1.1).all()
