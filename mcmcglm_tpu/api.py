@@ -59,6 +59,7 @@ def mcmcglm(
     engine: str = "auto",
     adapt_w: bool = False,
     weights=None,
+    thin: int = 1,
     **tuning,
 ) -> MCMCGLM:
     """Draw MCMC samples from a GLM posterior with the CGGibbs sampler.
@@ -193,12 +194,27 @@ def mcmcglm(
                   end="" if done < total else "\n", flush=True)
 
     t0 = time.perf_counter()
+    burnin_out = burnin
     if use_fused:
         betas, n_evals, _ = sampler.sample(
             jax.random.key(seed), n_samples, n_chains=n_chains,
             chunk_size=chunk_size,
         )
         n_evals = np.broadcast_to(n_evals, (n_chains, n_samples))
+    elif thin > 1 and sample_method == "slice_sampling" and not use_fused:
+        # memory-bounded collection: burn in, then keep every thin-th draw
+        # while streaming Welford moments on device (engine.run_thinned)
+        state = sampler.init(jax.random.key(seed), n_chains)
+        init_beta = np.asarray(state.beta)[:, None, :]
+        if adapt_w:
+            state, _, _ = sampler.warmup(state, burnin)
+        else:
+            state, _, _ = sampler.run(state, burnin)
+        n_outer = (n_samples - burnin) // thin
+        state, _, draws, nev = sampler.run_thinned(state, n_outer, thin)
+        betas = np.concatenate([init_beta, np.asarray(draws)], axis=1)
+        n_evals = np.asarray(nev)
+        burnin_out = 0  # collected draws are already post-burn-in
     elif adapt_w and sample_method == "slice_sampling":
         # adaptive burn-in, then frozen-width sampling
         state = sampler.init(jax.random.key(seed), n_chains)
@@ -225,7 +241,7 @@ def mcmcglm(
         beta=np.asarray(betas),
         columns=list(design.columns),
         family_name=fam.name,
-        burnin=burnin,
+        burnin=burnin_out,
         sample_method=sample_method,
         slice_kernel=kernel.name if kernel is not None else None,
         tuning=dict(tuning),
@@ -236,4 +252,5 @@ def mcmcglm(
         call=call,
         elapsed_seconds=elapsed,
         family=fam,
+        extra=extra,
     )

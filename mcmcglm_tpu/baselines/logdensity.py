@@ -15,6 +15,8 @@ from typing import Mapping, Optional
 
 import jax.numpy as jnp
 
+import jax
+
 from ..models.families import check_family
 from ..models.priors import BetaPrior
 from ..utils.linalg import matvec
@@ -32,6 +34,8 @@ def make_log_posterior(
     (R/glm_utils.R:212-217 composition).
     """
     family = check_family(family)
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        dtype = jnp.float32  # avoid per-op truncation warnings
     Xt = jnp.asarray(X, dtype).T
     y = jnp.asarray(y, dtype).reshape(-1)
     extra = {k: jnp.asarray(v, dtype) for k, v in dict(extra or {}).items()}

@@ -21,7 +21,29 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["ess", "split_rhat", "summarize"]
+__all__ = ["ess", "split_rhat", "summarize", "rank_normalize"]
+
+
+def rank_normalize(samples):
+    """Rank-normalisation (Vehtari et al. 2021): pooled draws -> fractional
+    ranks -> normal scores.  Makes ESS/R-hat robust to heavy tails and
+    nonlinear scales; apply before ess()/split_rhat() for the 'bulk'
+    rank-normalised variants."""
+    from scipy.special import ndtri
+
+    samples = np.asarray(samples, dtype=np.float64)
+    shp = samples.shape
+    if samples.ndim == 2:
+        flatshape = (-1,)
+        ranks = samples.reshape(-1).argsort().argsort().reshape(shp)
+        S = samples.size
+        return ndtri((ranks + 0.625) / (S + 0.25))
+    out = np.empty_like(samples)
+    S = shp[0] * shp[1]
+    for p_ in range(shp[2]):
+        ranks = samples[:, :, p_].reshape(-1).argsort().argsort().reshape(shp[:2])
+        out[:, :, p_] = ndtri((ranks + 0.625) / (S + 0.25))
+    return out
 
 
 def _autocov_fft(x):
@@ -44,11 +66,12 @@ def _split_chains(x):
 _NATIVE_THRESHOLD = 2_000_000  # elements; below this numpy wins on startup cost
 
 
-def ess(samples, use_native: bool = True) -> np.ndarray:
+def ess(samples, use_native: bool = True, rank_normalized: bool = False) -> np.ndarray:
     """Bulk effective sample size.
 
     samples: (chains, draws) or (chains, draws, params).
-    Returns a scalar or (params,) array.
+    Returns a scalar or (params,) array.  ``rank_normalized=True`` computes
+    the Vehtari et al. (2021) bulk-ESS on normal scores.
 
     For large sample tensors (pod-scale pooled diagnostics) this dispatches
     to the native C++ kernel (mcmcglm_tpu/native/hostutils.cpp) — OpenMP
@@ -58,6 +81,8 @@ def ess(samples, use_native: bool = True) -> np.ndarray:
     samples = np.asarray(samples, dtype=np.float64)
     if samples.ndim not in (2, 3):
         raise ValueError("samples must be (chains, draws[, params])")
+    if rank_normalized:
+        samples = rank_normalize(samples)
     if use_native and samples.size >= _NATIVE_THRESHOLD:
         from . import native
 
@@ -104,11 +129,14 @@ def _ess_1d(x) -> float:
     return float(min(C * K / tau, C * K * np.log10(C * K + 10.0)))
 
 
-def split_rhat(samples) -> np.ndarray:
+def split_rhat(samples, rank_normalized: bool = False) -> np.ndarray:
     """Split-R-hat (potential scale reduction on half-chains).
 
-    samples: (chains, draws) or (chains, draws, params)."""
+    samples: (chains, draws) or (chains, draws, params).
+    ``rank_normalized=True`` gives the Vehtari et al. (2021) bulk variant."""
     samples = np.asarray(samples, dtype=np.float64)
+    if rank_normalized:
+        samples = rank_normalize(samples)
     if samples.ndim == 3:
         return np.array(
             [split_rhat(samples[:, :, p]) for p in range(samples.shape[2])]

@@ -28,6 +28,15 @@ from .diagnostics import split_rhat as _split_rhat
 __all__ = ["MCMCGLM"]
 
 
+def _jnp_float():
+    """float64 when x64 is enabled, else float32 — avoids jax truncation
+    warnings when computing host-side summaries on a f32-only backend."""
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 @dataclasses.dataclass
 class MCMCGLM:
     """Result of a :func:`mcmcglm_tpu.mcmcglm` fit.
@@ -51,6 +60,7 @@ class MCMCGLM:
     call: Optional[str] = None
     elapsed_seconds: Optional[float] = None
     family: Optional[Any] = None  # the fitted Family object (keeps the link)
+    extra: Optional[Mapping[str, Any]] = None  # log_likelihood_extra_args
 
     # -- core accessors ----------------------------------------------------
 
@@ -154,7 +164,74 @@ class MCMCGLM:
             fam = check_family(self.family_name)  # default link fallback
         import jax.numpy as jnp
 
-        return np.asarray(fam.linkinv(jnp.asarray(eta, jnp.float64)))
+        return np.asarray(fam.linkinv(jnp.asarray(eta, _jnp_float())))
+
+    # -- model criticism (beyond the reference) ----------------------------
+
+    def _pointwise_loglik(self, n_draws: int = 1000, seed: int = 0):
+        """(S, n) per-observation log densities over posterior draws."""
+        if self.model_matrix is None or self.response is None or self.family is None:
+            raise ValueError("fit lacks stored data/family; cannot compute")
+        import jax.numpy as jnp
+
+        post = self.post_burnin().reshape(-1, self.d)
+        if n_draws and n_draws < post.shape[0]:
+            idx = np.random.default_rng(seed).choice(post.shape[0], n_draws, False)
+            post = post[idx]
+        eta = post @ np.asarray(self.model_matrix, np.float64).T  # (S, n)
+        ft = _jnp_float()
+        ld = self.family.log_density_eta(
+            jnp.asarray(eta, ft),
+            jnp.asarray(np.asarray(self.response, np.float64), ft),
+            dict(self.extra or {}),
+        )
+        return np.asarray(ld, np.float64)
+
+    def waic(self, n_draws: int = 1000, seed: int = 0):
+        """Widely Applicable Information Criterion (Watanabe 2010; gelman
+        et al. formulation): elpd_waic = lppd - p_waic with
+        p_waic = sum_i Var_s[log p(y_i | theta_s)].
+
+        Returns dict(elpd_waic, p_waic, waic, se).  Model-criticism tooling
+        absent from the reference entirely."""
+        ld = self._pointwise_loglik(n_draws, seed)  # (S, n)
+        S = ld.shape[0]
+        m = ld.max(axis=0)
+        lppd_i = m + np.log(np.exp(ld - m).mean(axis=0))
+        p_i = ld.var(axis=0, ddof=1)
+        elpd_i = lppd_i - p_i
+        n = ld.shape[1]
+        return {
+            "elpd_waic": float(elpd_i.sum()),
+            "p_waic": float(p_i.sum()),
+            "waic": float(-2.0 * elpd_i.sum()),
+            "se": float(np.sqrt(n * elpd_i.var(ddof=1))),
+        }
+
+    def loo(self, n_draws: int = 1000, seed: int = 0):
+        """Importance-sampling leave-one-out expected log predictive
+        density with truncated weights (Ionides 2008 truncation at
+        S^{3/4} * mean weight; a robust non-Pareto-smoothed PSIS-LOO
+        stand-in).  Returns dict(elpd_loo, p_loo, se)."""
+        ld = self._pointwise_loglik(n_draws, seed)  # (S, n)
+        S = ld.shape[0]
+        lw = -ld  # log importance ratios 1/p(y_i | theta_s)
+        lw = lw - lw.max(axis=0)
+        w = np.exp(lw)
+        wbar = w.mean(axis=0)
+        w = np.minimum(w, wbar * S ** 0.75)  # truncate extreme weights
+        w /= w.sum(axis=0)
+        # elpd_loo_i = log( sum_s w_s p(y_i|theta_s) )
+        m = ld.max(axis=0)
+        elpd_i = m + np.log((w * np.exp(ld - m)).sum(axis=0))
+        lppd_m = ld.max(axis=0)
+        lppd_i = lppd_m + np.log(np.exp(ld - lppd_m).mean(axis=0))
+        n = ld.shape[1]
+        return {
+            "elpd_loo": float(elpd_i.sum()),
+            "p_loo": float((lppd_i - elpd_i).sum()),
+            "se": float(np.sqrt(n * elpd_i.var(ddof=1))),
+        }
 
     # -- diagnostics beyond the reference ---------------------------------
 
