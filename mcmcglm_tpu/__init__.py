@@ -15,6 +15,7 @@ from .datagen import generate_glm_data, generate_normal_data
 from .diagnostics import ess, split_rhat, summarize
 from .engine import CGGibbs, ChainState, EngineConfig
 from .formula import Design, build_design, design_from_arrays
+from .freerun import FreeRunCGGibbs, FreeRunState
 from .fused import FusedCGGibbs
 from .perf import (
     compare_eta_comptime,

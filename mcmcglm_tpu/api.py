@@ -90,11 +90,19 @@ def mcmcglm(
       count dramatically when w is mis-specified (measured 8318 -> 504
       evals/sweep from w=0.01 on a p=100 logistic model); the reference has
       no adaptation at all (w is a raw tuning parameter, R/mcmcglm.R:40-41).
-    - ``engine`` — "auto"/"xla" (the scan/while XLA engine — measured
-      fastest on TPU v5e in round-1 benchmarks) or "fused" (experimental
-      whole-sweep Pallas kernel; TPU + iid prior + stepping_out only;
-      round-1 measurement: ~0.83x the XLA engine's throughput at C=256 —
-      kept for kernel-level experimentation, not yet the default).
+    - ``engine`` — "auto" / "freerun" / "xla" / "fused".
+      "freerun" is the lockstep-free automaton engine (freerun.py):
+      measured 2.3-2.7x the XLA engine on TPU v5e (404 vs 151-173
+      chain-sweeps/s at C=256 on the p=1000 logistic north-star).  It
+      adapts per-(chain, coordinate) slice widths during burn-in
+      (burn-in draws are discarded, so adaptation there is semantically
+      free) and samples with the frozen widths using the m=1 shrink-only
+      slice kernel (~1.4 target evaluations per coordinate).  "auto"
+      resolves to freerun for the hot configuration (slice_sampling +
+      stepping_out + update + thin=1), else to the general "xla"
+      scan/while engine.  "fused" is the whole-sweep Pallas kernel
+      (TPU + iid prior + stepping_out only; ~0.83x the XLA engine at
+      C=256 — kept for kernel-level experimentation).
 
     Returns an :class:`MCMCGLM` with ``(n_chains, n_samples + 1, d)`` draws.
     """
@@ -135,35 +143,54 @@ def mcmcglm(
     from .ops.pallas_cggibbs import MAX_FUSED_N
 
     use_fused = False
+    use_freerun = False
     if sample_method == "slice_sampling" and kernel is not None:
-        eligible = (
+        fused_eligible = (
             isinstance(prior, IIDPrior)
             and kernel.name == "stepping_out"
             and linear_predictor_calc == "update"
             and -(-design.X.shape[0] // 128) * 128 <= MAX_FUSED_N
             and n_chains % 8 == 0
         )
+        freerun_eligible = (
+            kernel.name == "stepping_out"
+            and linear_predictor_calc == "update"
+            and thin <= 1
+        )
         if engine == "fused":
-            if not eligible:
+            if not fused_eligible:
                 raise ValueError(
                     "engine='fused' requires stepping_out + iid prior + "
                     "linear_predictor_calc='update', n within the VMEM budget, "
                     "and n_chains a multiple of 8"
                 )
             use_fused = True
+        elif engine == "freerun":
+            if not freerun_eligible:
+                raise ValueError(
+                    "engine='freerun' requires stepping_out + "
+                    "linear_predictor_calc='update' and thin=1"
+                )
+            use_freerun = True
         elif engine == "auto":
-            # round-1 measurements: the XLA engine outperforms the fused
-            # Pallas path on v5e (371 vs 308 chain-sweeps/s at C=256,
-            # p=1000 logistic) — auto resolves to xla until the kernel wins
-            use_fused = False
+            # round-1 measurements on v5e (p=1000 logistic, C=256):
+            # freerun 404 > xla 151-173 > fused 308*0.83 chain-sweeps/s
+            use_freerun = freerun_eligible
         elif engine != "xla":
-            raise ValueError("engine must be 'auto', 'xla' or 'fused'")
+            raise ValueError("engine must be 'auto', 'freerun', 'xla' or 'fused'")
 
     if use_fused:
         from .fused import FusedCGGibbs
 
         sampler = FusedCGGibbs(
             design.X, design.y, fam, prior, extra=extra, tuning=tuning
+        )
+    elif use_freerun:
+        from .freerun import FreeRunCGGibbs
+
+        sampler = FreeRunCGGibbs(
+            design.X, design.y, fam, prior, extra=extra, tuning=tuning,
+            obs_weights=weights, dtype=dtype,
         )
     else:
         config = EngineConfig(
@@ -201,6 +228,22 @@ def mcmcglm(
             chunk_size=chunk_size,
         )
         n_evals = np.broadcast_to(n_evals, (n_chains, n_samples))
+    elif use_freerun:
+        # adaptive burn-in (burn-in draws are discarded anyway), then
+        # frozen-width shrink-only sampling
+        state = sampler.init(jax.random.key(seed), n_chains)
+        init_beta = np.asarray(state.beta)[:, None, :]
+        if burnin > 0:
+            state, warm_betas, _ = sampler.warmup(state, burnin)
+            parts = [init_beta, np.asarray(warm_betas)]
+        else:
+            parts = [init_beta]
+        state, samp_betas, nev = sampler.run(state, n_samples - burnin)
+        parts.append(np.asarray(samp_betas))
+        betas = np.concatenate(parts, axis=1)
+        n_evals = np.broadcast_to(
+            (np.asarray(nev) / max(n_samples, 1))[:, None], (n_chains, n_samples)
+        )
     elif thin > 1 and sample_method == "slice_sampling" and not use_fused:
         # memory-bounded collection: burn in, then keep every thin-th draw
         # while streaming Welford moments on device (engine.run_thinned)

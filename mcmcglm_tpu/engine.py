@@ -57,6 +57,10 @@ from .ops.slice_kernels import SliceKernel, get_slice_kernel
 
 __all__ = ["EngineConfig", "ChainState", "CGGibbs"]
 
+# kernels whose per-coordinate width w may be warmup-adapted (log w carried
+# in the kernel-state slot)
+_ADAPTIVE_KERNELS = ("stepping_out", "stepping_out_batched")
+
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
@@ -251,7 +255,7 @@ class CGGibbs:
         key, sub = jax.random.split(key)
         tuning = {**self.tuning, **chain_tuning}
         adaptive_w = adapt or self._w_adapted
-        if adaptive_w and self.kernel is not None and self.kernel.name == "stepping_out":
+        if adaptive_w and self.kernel is not None and self.kernel.name in _ADAPTIVE_KERNELS:
             # per-coordinate slice width lives in the kernel-state slot as
             # log w (see warmup()); frozen after adaptation
             tuning = dict(tuning)
@@ -289,7 +293,7 @@ class CGGibbs:
             n_evals = res.n_evals
             kstate = kstate.at[j].set(jnp.asarray(res.state, kstate.dtype))
 
-        if adapt and self.kernel is not None and self.kernel.name == "stepping_out":
+        if adapt and self.kernel is not None and self.kernel.name in _ADAPTIVE_KERNELS:
             # Robbins-Monro in log space: pull w toward ~3x the typical
             # accepted move size (the slice width that keeps step-out and
             # shrinkage iterations both small).  Only during warmup —
@@ -364,7 +368,7 @@ class CGGibbs:
         slice-evaluation count across vmapped chains, which is the dominant
         cost term on TPU.
         """
-        if self.kernel is None or self.kernel.name != "stepping_out":
+        if self.kernel is None or self.kernel.name not in _ADAPTIVE_KERNELS:
             state, betas, nev = self.run(state, n_steps)
             return state, betas, nev
         if not self._w_adapted:

@@ -1,0 +1,410 @@
+"""Free-running CGGibbs: lockstep-free slice-within-Gibbs for TPU.
+
+The throughput problem this solves
+----------------------------------
+The scan/while CGGibbs engine (engine.py) vmaps Neal's stepping-out +
+shrinkage ``lax.while_loop`` over chains, so every loop runs until the
+SLOWEST chain lane converges: with ~5 useful target evaluations per
+coordinate (mean) the block executes 12-20 (the max across 256 lanes).
+Measured on TPU v5e the sampler is compute-bound on the per-observation
+log-density transcendentals (softplus/exp over (chains, n) per evaluation),
+so those wasted lockstep evaluations are wasted wall-clock one-for-one.
+
+The design
+----------
+Each chain runs the *standard sequential CGGibbs algorithm* — identical
+slice kernel, identical stationary distribution — but as an explicit
+automaton that advances exactly ONE target evaluation per device pass.
+Chains are free-running: within one pass, chain A can be shrinking
+coordinate 17 of sweep 3 while chain B is stepping out coordinate 901 of
+sweep 2.  Every lane does useful work on every pass, so the executed
+evaluation count per chain-sweep equals the per-chain MEAN (~4-5 per
+coordinate), not the cross-chain max.  Idle waste only appears at the very
+end of a run, when early-finishing lanes wait for the last chain to
+complete its sweep quota — an O(1/sqrt(d * sweeps)) fraction by the CLT.
+
+Per pass, for all C chains fused into one XLA computation:
+
+  1. gather each lane's coordinate column:  xg = X^T[j_c]          (C, n)
+  2. evaluate the relative target ONCE per lane:
+         e = eta + xg * (xprop - b0)
+         f = sum(ld(e) - ld0, axis=-1) + prior_delta(xprop)        (C,)
+     (relative per-observation differences keep slice comparisons O(1) in
+     magnitude — float32-safe, same trick as models/potential.py)
+  3. advance each lane's automaton with O(1) scalar selects:
+     stepping-out endpoint tests, shrinkage accept/reject, interval
+     updates — exactly the slice_stepping_out schedule (Neal 2003).
+  4. an ACCEPTING evaluation commits for free: the accepted ``e`` IS the
+     new eta and its ``ld(e)`` IS the refreshed log-density cache — this
+     engine has no separate commit or cache-refresh pass at all.
+
+The loop is a single hand-batched ``lax.while_loop`` (NOT vmap-of-while:
+JAX's batching rule for while wraps every carry in a per-iteration select,
+which would stream the whole draws buffer through HBM on every pass);
+draws/beta/width updates are drop-mode scatters so each pass writes only
+the rows it actually changed.
+
+The reference's hot loop is R/mcmcglm.R:226-274 (k over samples, j over
+coordinates, one univariate slice draw per (k, j) with the O(n)
+incremental eta update of R/glm_utils.R:126-132); this engine reproduces
+that exact per-chain schedule while keeping the TPU VPU saturated with
+useful evaluations.  Equivalence with :class:`~mcmcglm_tpu.engine.CGGibbs`
+is distributional (tests/test_freerun.py): same kernel, different PRNG
+stream consumption order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Mapping, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .models.families import Family, check_family
+from .models.priors import BetaPrior
+from .utils.linalg import matvec
+
+__all__ = ["FreeRunCGGibbs", "FreeRunState"]
+
+
+class FreeRunState(NamedTuple):
+    # problem state, batched over chains
+    beta: jax.Array  # (C, d)
+    eta: jax.Array  # (C, n)
+    ld0: jax.Array  # (C, n) cached per-obs log densities at eta
+    key: jax.Array  # single PRNG key; each pass draws (C,)-vectors from it
+    logw: jax.Array  # (C, d) per-coordinate log slice widths (adaptation)
+    # automaton registers, all (C,)
+    j: jax.Array  # current coordinate, int32
+    phase: jax.Array  # 0 = stepping out, 1 = shrinking
+    stepdir: jax.Array  # 0 = testing left endpoint, 1 = right
+    level: jax.Array  # relative slice level (= -Exp(1))
+    L: jax.Array
+    R: jax.Array
+    budL: jax.Array  # remaining left step budget, int32
+    budR: jax.Array
+    b0: jax.Array  # current beta[:, j]
+    lp0: jax.Array  # prior coord log prob at b0
+    w: jax.Array  # slice width for the current coordinate
+    xprop: jax.Array  # proposal to evaluate next pass
+    n_shrink: jax.Array  # shrink evals this coordinate, int32
+    nev: jax.Array  # (C,) total target evaluations, int32
+
+
+class FreeRunCGGibbs:
+    """Lockstep-free CGGibbs sampler (stepping-out slice kernel).
+
+    Same problem signature as :class:`~mcmcglm_tpu.engine.CGGibbs`
+    restricted to the hot configuration —
+    ``sample_method='slice_sampling'``, ``slice_kernel='stepping_out'``,
+    ``linear_predictor_calc='update'``.  Any :class:`BetaPrior` whose
+    ``coord_log_prob`` accepts a traced coordinate index is supported
+    (all built-ins do).
+    """
+
+    def __init__(
+        self,
+        X,
+        y,
+        family,
+        prior: BetaPrior,
+        extra: Optional[Mapping] = None,
+        tuning: Optional[Mapping] = None,
+        reduce_fn=None,
+        obs_weights=None,
+        max_stepouts: int = 128,
+        max_shrink: int = 64,
+        shrink_only: bool = True,
+        adapt_c: float = 40.0,
+        dtype=jnp.float32,
+    ):
+        self.family: Family = check_family(family)
+        self.prior = prior
+        self.dtype = dtype
+        X = jnp.asarray(X, dtype)
+        self.n, self.d = X.shape
+        if prior.d != self.d:
+            raise ValueError(
+                f"prior dimension {prior.d} != number of model parameters {self.d}"
+            )
+        self.Xt = jnp.asarray(X.T)  # (d, n)
+        self.y = jnp.asarray(y, dtype).reshape(-1)
+        self.extra = {k: jnp.asarray(v, dtype) for k, v in dict(extra or {}).items()}
+        tuning = dict(tuning or {})
+        if "w" not in tuning:
+            raise ValueError(
+                "A tuning parameter for the slice kernel is missing: ['w'] "
+                "required by 'stepping_out'"
+            )
+        self.w0 = float(tuning["w"])
+        if obs_weights is not None:
+            ow = jnp.asarray(obs_weights, dtype).reshape(-1)
+            if ow.shape[0] != self.n:
+                raise ValueError(
+                    f"obs_weights length {ow.shape[0]} != n observations {self.n}"
+                )
+            if reduce_fn is None:
+                reduce_fn = lambda t: jnp.sum(t * ow, axis=-1)  # noqa: E731
+        self.reduce_fn = reduce_fn or (lambda t: jnp.sum(t, axis=-1))
+        self.max_stepouts = int(max_stepouts)
+        self.max_shrink = int(max_shrink)
+        # sampling runs use the m=1 shrink-only kernel by default (see
+        # _begin_coord); warmup always uses the full stepping-out schedule
+        self.shrink_only = bool(shrink_only)
+        self._adapt_rate = 0.08
+        # warmup width target: w ~= adapt_c * typical accepted move.  Larger
+        # c widens intervals -> better per-sweep mixing (less slice
+        # truncation) at the cost of more shrink evaluations.  Measured
+        # frontier on the p=1000 logistic north-star (TPU v5e, C=256,
+        # shrink-only): c=3 -> 1.3 evals/coord but ESS/draw ~0.1;
+        # c=40 -> 3.1 evals/coord with ESS/draw ~0.7 and the best ESS/s
+        # (391 min-ESS/s vs 363 for full stepping-out at 4.9 evals/coord);
+        # c>=60 is flat.  A ~13-sigma interval contains the whole slice, so
+        # generous widths recover stepping-out's mixing at ~60% of its
+        # evaluation cost.
+        self.adapt_c = float(adapt_c)
+        # batched prior hooks (prior API is per-chain)
+        self._coord_lp = jax.vmap(self.prior.coord_log_prob, in_axes=(0, 0, 0))
+        self._run_cache: dict = {}
+
+    # -- coordinate initialisation (batched) ---------------------------------
+
+    def _begin_coord(self, key, beta, logw, j, shrink_only: bool):
+        """Level + initial interval for each lane's coordinate j.  Returns a
+        dict of fresh automaton registers.
+
+        ``shrink_only=True`` is Neal's procedure with a step-out budget of
+        m = 1: the randomly-positioned width-w interval is used directly
+        (J = K = 0, so Fig. 3's while conditions short-circuit and the
+        endpoints are never evaluated) and the lane starts in the shrinkage
+        phase with a uniform draw on (L, R).  This is an exact slice kernel
+        for any w; with warmup-adapted widths (~3-4x the conditional scale)
+        it needs ~2-3 evaluations per coordinate — the TPU sampling
+        configuration.  ``shrink_only=False`` is the full stepping-out
+        schedule (used for warmup, where widths may start badly sized)."""
+        dtype = self.dtype
+        C = beta.shape[0]
+        k_level, k_u, k_j = jax.random.split(key, 3)
+        level = -jax.random.exponential(k_level, (C,), dtype=dtype)
+        w = jnp.exp(jnp.take_along_axis(logw, j[:, None], axis=1)[:, 0])
+        b0 = jnp.take_along_axis(beta, j[:, None], axis=1)[:, 0]
+        u = jax.random.uniform(k_u, (C,), dtype=dtype)
+        L = b0 - w * u
+        R = L + w
+        uj = jax.random.uniform(k_j, (C,), dtype=dtype)
+        lp0 = jnp.asarray(self._coord_lp(beta, j, b0), dtype)
+        zero = jnp.zeros((C,), jnp.int32)
+        if shrink_only:
+            J = zero
+            K = zero
+            phase = jnp.ones((C,), jnp.int32)
+            xprop = L + (R - L) * uj  # first shrink proposal
+        else:
+            J = jnp.floor(uj * self.max_stepouts).astype(jnp.int32)
+            K = (self.max_stepouts - 1) - J
+            phase = zero
+            xprop = L
+        return dict(
+            level=level, L=L, R=R, budL=J, budR=K, b0=b0, lp0=lp0, w=w,
+            xprop=xprop, phase=phase, stepdir=zero, n_shrink=zero,
+        )
+
+    def init(self, key, n_chains: int) -> FreeRunState:
+        return jax.jit(partial(self._init, n_chains=n_chains))(key)
+
+    def _init(self, key, n_chains: int):
+        dtype = self.dtype
+        C = n_chains
+        k_init, k_coord, k_run = jax.random.split(key, 3)
+        beta = jax.vmap(self.prior.sample_beta)(
+            jax.random.split(k_init, C)
+        ).astype(dtype)
+        eta = jax.vmap(lambda b: matvec(b, self.Xt))(beta)
+        ld0 = self.family.log_density_eta(eta, self.y, self.extra)
+        logw = jnp.full((C, self.d), jnp.log(jnp.asarray(self.w0, dtype)))
+        reg = self._begin_coord(
+            k_coord, beta, logw, jnp.zeros((C,), jnp.int32), shrink_only=False
+        )
+        return FreeRunState(
+            beta=beta, eta=eta, ld0=ld0, key=k_run, logw=logw,
+            j=jnp.zeros((C,), jnp.int32), nev=jnp.zeros((C,), jnp.int32),
+            **reg,
+        )
+
+    # -- the pass -------------------------------------------------------------
+
+    def _pass(self, s: FreeRunState, sweep_count, draws, n_sweeps: int,
+              adapt: bool, shrink_only: bool):
+        """One target evaluation + automaton advance for every chain."""
+        dtype = self.dtype
+        C = s.beta.shape[0]
+        rows = jnp.arange(C)
+        active = sweep_count < n_sweeps
+
+        # pass-level randomness: one shared key, (C,)-vector draws
+        key, k_u, k_begin = jax.random.split(s.key, 3)
+        u_shrink = jax.random.uniform(k_u, (C,), dtype=dtype)
+
+        # 1-2. the single fused evaluation
+        xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
+        delta = s.xprop - s.b0
+        e = s.eta + xg * delta[:, None]
+        ld_e = self.family.log_density_eta(e, self.y, self.extra)
+        f = self.reduce_fn(ld_e - s.ld0) + (
+            jnp.asarray(self._coord_lp(s.beta, s.j, s.xprop), dtype) - s.lp0
+        )
+        above = f > s.level
+
+        stepping = s.phase == 0
+        left = s.stepdir == 0
+
+        # 3a. stepping-out transitions (this pass tested endpoint s.xprop)
+        step_more_L = stepping & left & above & (s.budL > 0)
+        L = jnp.where(step_more_L, s.L - s.w, s.L)
+        budL = jnp.where(step_more_L, s.budL - 1, s.budL)
+        done_L = stepping & left & ~step_more_L  # left endpoint is final
+        step_more_R = stepping & ~left & above & (s.budR > 0)
+        R = jnp.where(step_more_R, s.R + s.w, s.R)
+        budR = jnp.where(step_more_R, s.budR - 1, s.budR)
+        done_R = stepping & ~left & ~step_more_R  # both endpoints final
+
+        stepdir = jnp.where(done_L, 1, s.stepdir)
+        phase = jnp.where(done_R, 1, s.phase)
+        enter_shrink = done_R
+
+        # 3b. shrinkage transitions
+        shrinking = s.phase == 1
+        accept_move = shrinking & (f >= s.level) & active
+        exhausted = shrinking & (f < s.level) & (
+            s.n_shrink + 1 >= self.max_shrink
+        ) & active
+        rej = shrinking & (f < s.level)
+        L = jnp.where(rej & (s.xprop < s.b0), s.xprop, L)
+        R = jnp.where(rej & (s.xprop >= s.b0), s.xprop, R)
+        n_shrink = jnp.where(shrinking, s.n_shrink + 1, s.n_shrink)
+
+        # 4. commit.  accept-with-move: the evaluated e / ld(e) are the new
+        #    state.  Shrink exhaustion commits b0 (state unchanged) — same
+        #    fallback as slice_stepping_out's bounded loop.
+        commit = accept_move | exhausted
+        b_star = jnp.where(accept_move, s.xprop, s.b0)
+        eta = jnp.where(accept_move[:, None], e, s.eta)
+        ld0 = jnp.where(accept_move[:, None], ld_e, s.ld0)
+        # beta[c, j_c] = b_star: a no-op write of b0 for non-committing lanes
+        beta = s.beta.at[rows, s.j].set(b_star)
+
+        logw = s.logw
+        if adapt:
+            # Robbins-Monro pull of log w_j toward ~3x the accepted move;
+            # drop-mode scatter touches only committing lanes' (c, j) slots
+            move = jnp.abs(b_star - s.b0)
+            target = jnp.log(self.adapt_c * move + 1e-6)
+            lw_j = jnp.take_along_axis(s.logw, s.j[:, None], axis=1)[:, 0]
+            new_lw = (1.0 - self._adapt_rate) * lw_j + self._adapt_rate * target
+            jw = jnp.where(commit, s.j, self.d)  # out-of-bounds => dropped
+            logw = s.logw.at[rows, jw].set(new_lw, mode="drop")
+
+        # coordinate / sweep bookkeeping
+        j_next = jnp.where(commit, s.j + 1, s.j)
+        sweep_done = commit & (j_next >= self.d)
+        slot = jnp.where(sweep_done, sweep_count, n_sweeps)  # OOB => dropped
+        draws = draws.at[rows, slot].set(beta, mode="drop")
+        sweep_count = jnp.where(sweep_done, sweep_count + 1, sweep_count)
+        j_next = jnp.where(sweep_done, 0, j_next)
+
+        # fresh automaton registers for lanes that committed
+        reg = self._begin_coord(k_begin, beta, logw, j_next, shrink_only)
+
+        def pick(name, old):
+            return jnp.where(commit, reg[name], old)
+
+        # non-commit proposal for the next pass:
+        #   stepping: the (possibly moved) endpoint of the active direction
+        #   entering/continuing shrinkage: uniform on the current (L, R)
+        x_shrink = L + (R - L) * u_shrink
+        in_shrink = (shrinking | enter_shrink) & ~commit
+        xprop_nc = jnp.where(
+            in_shrink, x_shrink, jnp.where(stepdir == 0, L, R)
+        )
+
+        new_state = FreeRunState(
+            beta=beta, eta=eta, ld0=ld0, key=key, logw=logw,
+            j=j_next,
+            phase=pick("phase", phase),
+            stepdir=pick("stepdir", stepdir),
+            level=pick("level", s.level),
+            L=pick("L", L), R=pick("R", R),
+            budL=pick("budL", budL), budR=pick("budR", budR),
+            b0=pick("b0", s.b0), lp0=pick("lp0", s.lp0),
+            w=pick("w", s.w),
+            xprop=pick("xprop", xprop_nc),
+            n_shrink=pick("n_shrink", n_shrink),
+            nev=s.nev + active.astype(jnp.int32),
+        )
+        return new_state, sweep_count, draws
+
+    # -- runs -------------------------------------------------------------
+
+    def _run(self, state: FreeRunState, n_sweeps: int, adapt: bool,
+             shrink_only: bool):
+        C = state.beta.shape[0]
+        draws0 = jnp.zeros((C, n_sweeps, self.d), self.dtype)
+
+        def cond(carry):
+            _, sweep_count, _ = carry
+            return jnp.any(sweep_count < n_sweeps)
+
+        def body(carry):
+            s, sweep_count, draws = carry
+            return self._pass(s, sweep_count, draws, n_sweeps, adapt, shrink_only)
+
+        state, _, draws = lax.while_loop(
+            cond, body, (state, jnp.zeros((C,), jnp.int32), draws0)
+        )
+        return state, draws
+
+    def run(self, state: FreeRunState, n_sweeps: int):
+        """Advance every chain by ``n_sweeps`` completed Gibbs sweeps.
+
+        Returns (state, draws (C, n_sweeps, d), n_evals (C,)) — n_evals is
+        the cumulative per-chain target-evaluation count."""
+        return self._run_cached(state, n_sweeps, adapt=False,
+                                shrink_only=self.shrink_only)
+
+    def warmup(self, state: FreeRunState, n_sweeps: int):
+        """Adaptive warmup: per-(chain, coordinate) slice widths pulled
+        toward ~3x the accepted move (Robbins-Monro in log space), FROZEN
+        afterwards — identical policy to CGGibbs.warmup."""
+        return self._run_cached(state, n_sweeps, adapt=True, shrink_only=False)
+
+    def _run_cached(self, state, n_sweeps, adapt, shrink_only):
+        key_ = (n_sweeps, adapt, shrink_only, int(state.beta.shape[0]))
+        fn = self._run_cache.get(key_)
+        if fn is None:
+            fn = jax.jit(partial(self._run, n_sweeps=n_sweeps, adapt=adapt,
+                                 shrink_only=shrink_only))
+            self._run_cache[key_] = fn
+        state, draws = fn(state)
+        return state, draws, state.nev
+
+    def sample(self, key, n_samples: int, n_chains: int = 1, chunk_size: int = 0,
+               progress=None):
+        """Init from the prior then collect n_samples sweeps per chain.
+        Returns (betas (C, n_samples + 1, d), n_evals (C,), state) — row 0
+        is the init draw, matching CGGibbs.sample."""
+        state = self.init(key, n_chains)
+        parts = [np.asarray(state.beta)[:, None, :]]
+        if chunk_size <= 0:
+            chunk_size = n_samples
+        done = 0
+        while done < n_samples:
+            step = min(chunk_size, n_samples - done)
+            state, draws, _ = self.run(state, step)
+            parts.append(np.asarray(draws))
+            done += step
+            if progress is not None:
+                progress(done, n_samples)
+        return np.concatenate(parts, axis=1), np.asarray(state.nev), state

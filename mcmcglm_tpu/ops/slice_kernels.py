@@ -53,6 +53,7 @@ __all__ = [
     "get_slice_kernel",
     "register_slice_kernel",
     "slice_stepping_out",
+    "slice_stepping_out_batched",
     "slice_doubling",
     "slice_elliptical",
     "slice_genelliptical",
@@ -171,6 +172,160 @@ def slice_stepping_out(
     x_new = jnp.where(accepted, x1, x0)
     n_evals = n_evals0 + nL + nR + n_shrink
     return SliceResult(x_new, n_evals, jnp.zeros((), dtype))
+
+
+# --------------------------------------------------------------------------
+# Batched-proposal stepping-out + shrinkage: the TPU throughput kernel.
+# --------------------------------------------------------------------------
+
+def slice_stepping_out_batched(
+    key,
+    x0,
+    log_target: Callable,
+    w,
+    K: int = 8,
+    max_stepouts: int = 128,
+    max_shrink_rounds: int = 16,
+    fx0=None,
+    state=None,
+) -> SliceResult:
+    """Neal (2003) stepping-out slice sampling with K target evaluations per
+    memory pass — *exactly* the same stationary kernel as
+    :func:`slice_stepping_out`, restructured for TPU throughput.
+
+    Why: in the CGGibbs engine each target evaluation streams the (chains, n)
+    eta/log-density state from HBM inside one ``lax.while_loop`` iteration,
+    and vmapped chains run the loop in lockstep to the slowest lane — so the
+    executed iteration count per coordinate is the *max* over the chain
+    block, each iteration paying a fixed dispatch + memory-pass cost
+    (measured ~0.25 ms at (256 chains, n=10k) on v5e, ~10x the HBM
+    speed-of-light for the math).  This kernel amortises that fixed cost by
+    evaluating K candidates per pass (``jax.vmap`` over the proposal axis —
+    one fused (K, n) elementwise pass that reads eta once):
+
+      * **stepping out**: candidate endpoints L0 - m*w (m = 0..) and
+        R0 + m*w are evaluated K/2-per-direction per round; the final
+        endpoint is the *first* candidate at or below the slice level
+        (first-crossing detection), capped by Neal's randomized budget split
+        J / (max_stepouts-1-J) — identical to the sequential procedure,
+        which also stops at the first sub-level endpoint.
+      * **shrinkage with rejection reuse**: each round draws K points
+        uniformly on the round-start interval [L, R] and evaluates all of
+        them in one pass; the points are then folded sequentially through
+        Neal's shrink automaton in O(1) scalar ops each.  A point that falls
+        outside the *current* (already-shrunk) interval is skipped entirely
+        — a uniform draw on [L, R] conditioned to land in [L', R'] subset
+        [L, R] is exactly a uniform draw on [L', R'], so the skipped points
+        are rejection-sampling overhead, not a distributional change.  Each
+        used point either accepts (f >= level) or shrinks the interval
+        toward x0, exactly as in the sequential kernel.
+
+    Typical cost: 1-2 stepping rounds + 1-2 shrink rounds = 2-4 memory
+    passes per coordinate vs ~7-20 lockstep passes for the sequential
+    kernel.  ``n_evals`` counts actual target evaluations (K per round the
+    lane is still active).
+    """
+    del state
+    dtype = jnp.result_type(x0, jnp.float32)
+    x0 = jnp.asarray(x0, dtype)
+    w = jnp.asarray(w, dtype)
+    KL = K // 2
+    KR = K - KL
+    g_vec = lambda xs: log_target(xs) if getattr(log_target, "batched", False) \
+        else jax.vmap(log_target)(xs)  # noqa: E731
+    k_level, k_u, k_j, k_shrink = _split(key, 4)
+
+    if fx0 is None:
+        fx0 = log_target(jnp.zeros((), dtype) + x0)
+        n_evals0 = jnp.asarray(1, jnp.int32)
+    else:
+        fx0 = jnp.asarray(fx0, dtype)
+        n_evals0 = jnp.asarray(0, jnp.int32)
+    level = _level_from(k_level, fx0)
+
+    u = jax.random.uniform(k_u, (), dtype=dtype)
+    L0 = x0 - w * u
+    R0 = L0 + w
+    m = max_stepouts
+    uj = jax.random.uniform(k_j, (), dtype=dtype)
+    J = jnp.floor(uj * m).astype(jnp.int32)  # left budget (max step count)
+    Kbud = (m - 1) - J  # right budget
+
+    iotaL = jnp.arange(KL, dtype=jnp.int32)
+    iotaR = jnp.arange(KR, dtype=jnp.int32)
+
+    def so_cond(c):
+        _, _, foundL, foundR, _, _ = c
+        return (~foundL) | (~foundR)
+
+    def so_body(c):
+        mL, mR, foundL, foundR, (tL, tR), nev = c
+        idxL = mL + iotaL
+        idxR = mR + iotaR
+        cand = jnp.concatenate(
+            [L0 - idxL.astype(dtype) * w, R0 + idxR.astype(dtype) * w]
+        )
+        f = g_vec(cand)
+        fL, fR = f[:KL], f[KL:]
+
+        belowL = fL <= level
+        anyL = jnp.any(belowL)
+        firstL = mL + jnp.argmax(belowL).astype(jnp.int32)
+        tL_round = jnp.where(anyL, jnp.minimum(firstL, J), J)
+        doneL = anyL | ((mL + KL) > J)
+        tL = jnp.where(~foundL & doneL, tL_round, tL)
+
+        belowR = fR <= level
+        anyR = jnp.any(belowR)
+        firstR = mR + jnp.argmax(belowR).astype(jnp.int32)
+        tR_round = jnp.where(anyR, jnp.minimum(firstR, Kbud), Kbud)
+        doneR = anyR | ((mR + KR) > Kbud)
+        tR = jnp.where(~foundR & doneR, tR_round, tR)
+
+        nev = nev + jnp.where((~foundL) | (~foundR), K, 0)
+        return (mL + KL, mR + KR, foundL | doneL, foundR | doneR, (tL, tR), nev)
+
+    zero_i = jnp.zeros((), jnp.int32)
+    (_, _, _, _, (tL, tR), n_so) = lax.while_loop(
+        so_cond,
+        so_body,
+        (zero_i, zero_i, jnp.asarray(False), jnp.asarray(False),
+         (zero_i, zero_i), zero_i),
+    )
+    L = L0 - tL.astype(dtype) * w
+    R = R0 + tR.astype(dtype) * w
+
+    def sh_cond(c):
+        _, _, _, accepted, rnd, _, _ = c
+        return (~accepted) & (rnd < max_shrink_rounds)
+
+    def sh_body(c):
+        L, R, bnew, accepted, rnd, nev, key = c
+        key, sub = _split(key, 2)
+        us = jax.random.uniform(sub, (K,), dtype=dtype)
+        xs = L + (R - L) * us  # uniform on the ROUND-START interval
+        fs = g_vec(xs)
+        # fold the K evaluated points through Neal's shrink automaton;
+        # points outside the current (shrunk) interval are skipped —
+        # see docstring for why this preserves exactness.
+        for k in range(K):
+            xk, fk = xs[k], fs[k]
+            use = (xk >= L) & (xk <= R) & (~accepted)
+            ok = fk >= level
+            bnew = jnp.where(use & ok, xk, bnew)
+            shrink = use & (~ok)
+            L = jnp.where(shrink & (xk < x0), xk, L)
+            R = jnp.where(shrink & (xk >= x0), xk, R)
+            accepted = accepted | (use & ok)
+        return (L, R, bnew, accepted, rnd + 1, nev + K, key)
+
+    (_, _, bnew, accepted, _, n_sh, _) = lax.while_loop(
+        sh_cond,
+        sh_body,
+        (L, R, x0, jnp.asarray(False), zero_i, zero_i, k_shrink),
+    )
+    x_new = jnp.where(accepted, bnew, x0)
+    return SliceResult(x_new, n_evals0 + n_so + n_sh, jnp.zeros((), dtype))
 
 
 # --------------------------------------------------------------------------
@@ -598,6 +753,9 @@ def get_slice_kernel(name_or_kernel) -> SliceKernel:
 
 
 register_slice_kernel(SliceKernel("stepping_out", slice_stepping_out, ("w",)))
+register_slice_kernel(
+    SliceKernel("stepping_out_batched", slice_stepping_out_batched, ("w",))
+)
 register_slice_kernel(SliceKernel("doubling", slice_doubling, ("w",)))
 register_slice_kernel(SliceKernel("elliptical", slice_elliptical, ("mu", "sigma")))
 register_slice_kernel(
