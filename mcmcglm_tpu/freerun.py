@@ -28,9 +28,12 @@ Per pass, for all C chains fused into one XLA computation:
   1. gather each lane's coordinate column:  xg = X^T[j_c]          (C, n)
   2. evaluate the relative target ONCE per lane:
          e = eta + xg * (xprop - b0)
-         f = sum(ld(e) - ld0, axis=-1) + prior_delta(xprop)        (C,)
-     (relative per-observation differences keep slice comparisons O(1) in
-     magnitude — float32-safe, same trick as models/potential.py)
+         f = logL(e) - logL_cached + prior_delta(xprop)            (C,)
+     where the committed-state log likelihood is cached either per
+     observation ((C, n); exact relative differences, the float32-safe
+     trick of models/potential.py) or as the reduced scalar ((C,);
+     eval_cache="scalar" — drops two of the five (C, n) HBM streams per
+     pass, which is the pass's bottleneck on TPU)
   3. advance each lane's automaton with O(1) scalar selects:
      stepping-out endpoint tests, shrinkage accept/reject, interval
      updates — exactly the slice_stepping_out schedule (Neal 2003).
@@ -74,7 +77,10 @@ class FreeRunState(NamedTuple):
     # problem state, batched over chains
     beta: jax.Array  # (C, d)
     eta: jax.Array  # (C, n)
-    ld0: jax.Array  # (C, n) cached per-obs log densities at eta
+    # log-density cache at the committed eta:
+    #   eval_cache="per_obs": (C, n) per-observation log densities
+    #   eval_cache="scalar":  (C,) reduced log likelihood
+    ld0: jax.Array
     key: jax.Array  # single PRNG key; each pass draws (C,)-vectors from it
     logw: jax.Array  # (C, d) per-coordinate log slice widths (adaptation)
     # automaton registers, all (C,)
@@ -120,6 +126,7 @@ class FreeRunCGGibbs:
         shrink_only: bool = True,
         adapt_c: float = 40.0,
         dtype=jnp.float32,
+        eval_cache: str = "auto",
     ):
         self.family: Family = check_family(family)
         self.prior = prior
@@ -166,6 +173,37 @@ class FreeRunCGGibbs:
         # generous widths recover stepping-out's mixing at ~60% of its
         # evaluation cost.
         self.adapt_c = float(adapt_c)
+        # eval_cache: how the committed-state log likelihood is cached for
+        # the relative slice comparison f = logL(prop) - logL(current).
+        #   "per_obs": cache per-observation log densities (C, n); reduce
+        #       the per-observation DIFFERENCES — exact cancellation, but
+        #       two extra (C, n) HBM streams per pass (read + refresh).
+        #   "scalar": cache the reduced scalar (C,); compare full-magnitude
+        #       sums — 5 -> 3 (C, n) streams per pass (the pass is HBM-
+        #       bandwidth-bound on TPU; measured 1.4-1.6x pass rate at the
+        #       p=1000 logistic north star), at roundoff ~ eps *
+        #       sqrt(log2 n) * sum|ld| on the slice log scale.
+        #   "auto": "scalar" when that roundoff estimate (from the log
+        #       density at eta = 0) is far below the Exp(1) slice level,
+        #       else "per_obs".
+        if eval_cache not in ("auto", "scalar", "per_obs"):
+            raise ValueError(
+                f"eval_cache must be 'auto', 'scalar' or 'per_obs', got {eval_cache!r}"
+            )
+        if eval_cache == "auto":
+            ld_at0 = np.asarray(
+                self.family.log_density_eta(
+                    jnp.zeros((self.n,), dtype), self.y, self.extra
+                )
+            )
+            eps = float(np.finfo(np.dtype(dtype)).eps)
+            err = (
+                eps
+                * float(np.sqrt(np.log2(max(self.n, 4))))
+                * float(np.sum(np.abs(ld_at0)))
+            )
+            eval_cache = "scalar" if err < 0.01 else "per_obs"
+        self.eval_cache = eval_cache
         # batched prior hooks (prior API is per-chain)
         self._coord_lp = jax.vmap(self.prior.coord_log_prob, in_axes=(0, 0, 0))
         self._run_cache: dict = {}
@@ -224,6 +262,8 @@ class FreeRunCGGibbs:
         ).astype(dtype)
         eta = jax.vmap(lambda b: matvec(b, self.Xt))(beta)
         ld0 = self.family.log_density_eta(eta, self.y, self.extra)
+        if self.eval_cache == "scalar":
+            ld0 = self.reduce_fn(ld0)
         logw = jnp.full((C, self.d), jnp.log(jnp.asarray(self.w0, dtype)))
         reg = self._begin_coord(
             k_coord, beta, logw, jnp.zeros((C,), jnp.int32), shrink_only=False
@@ -253,7 +293,12 @@ class FreeRunCGGibbs:
         delta = s.xprop - s.b0
         e = s.eta + xg * delta[:, None]
         ld_e = self.family.log_density_eta(e, self.y, self.extra)
-        f = self.reduce_fn(ld_e - s.ld0) + (
+        if self.eval_cache == "scalar":
+            lsum_e = self.reduce_fn(ld_e)
+            dll = lsum_e - s.ld0
+        else:
+            dll = self.reduce_fn(ld_e - s.ld0)
+        f = dll + (
             jnp.asarray(self._coord_lp(s.beta, s.j, s.xprop), dtype) - s.lp0
         )
         above = f > s.level
@@ -292,7 +337,10 @@ class FreeRunCGGibbs:
         commit = accept_move | exhausted
         b_star = jnp.where(accept_move, s.xprop, s.b0)
         eta = jnp.where(accept_move[:, None], e, s.eta)
-        ld0 = jnp.where(accept_move[:, None], ld_e, s.ld0)
+        if self.eval_cache == "scalar":
+            ld0 = jnp.where(accept_move, lsum_e, s.ld0)
+        else:
+            ld0 = jnp.where(accept_move[:, None], ld_e, s.ld0)
         # beta[c, j_c] = b_star: a no-op write of b0 for non-committing lanes
         beta = s.beta.at[rows, s.j].set(b_star)
 

@@ -11,6 +11,11 @@ Run on TPU:  python scripts/baseline_configs.py
 CPU (small): env PYTHONPATH=. JAX_PLATFORMS=cpu python scripts/baseline_configs.py --small
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

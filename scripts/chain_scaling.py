@@ -10,6 +10,11 @@ Run (TPU):  python scripts/chain_scaling.py
 Run (CPU):  env PYTHONPATH=. JAX_PLATFORMS=cpu python scripts/chain_scaling.py --small
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -138,3 +138,41 @@ def test_run_continuation_mid_sweep():
     both = np.concatenate([np.asarray(d1), np.asarray(d2)], axis=1)
     post = both[:, 30:, :].reshape(-1, 4)
     assert np.abs(post.mean(0) - mu).max() < 0.06
+
+
+def test_eval_cache_modes_recover_same_posterior():
+    """eval_cache="scalar" (3 HBM streams/pass) and "per_obs" (exact
+    relative differences) are the same kernel up to f32 reduction roundoff
+    far below the Exp(1) slice level — both must recover the conjugate
+    posterior."""
+    X, y, mu, sd = _gaussian_problem(n=300, d=4, seed=8)
+    for mode in ("scalar", "per_obs"):
+        fr = FreeRunCGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0.0, 1.0), 4),
+            extra={"sd": 1.0}, tuning={"w": 0.7}, eval_cache=mode,
+        )
+        assert fr.eval_cache == mode
+        st = fr.init(jax.random.key(5), 16)
+        st, _, _ = fr.warmup(st, 80)
+        st, draws, _ = fr.run(st, 300)
+        post = np.asarray(draws)[:, 60:, :].reshape(-1, 4)
+        assert np.abs(post.mean(0) - mu).max() < 0.03, mode
+        assert np.abs(post.std(0) / sd - 1.0).max() < 0.10, mode
+
+
+def test_eval_cache_auto_resolution():
+    """auto -> scalar when f32 reduction roundoff is negligible on the
+    slice log scale; -> per_obs when the log-likelihood magnitude makes
+    full-sum comparisons unsafe (e.g. a near-degenerate gaussian noise
+    scale blows |log density| up to ~1/sd^2)."""
+    X, y, _, _ = _gaussian_problem(n=400, d=3, seed=9)
+    pr = mg.IIDPrior(mg.Normal(0.0, 1.0), 3)
+    fr = FreeRunCGGibbs(X, y, "gaussian", pr, extra={"sd": 1.0},
+                        tuning={"w": 0.7})
+    assert fr.eval_cache == "scalar"
+    fr2 = FreeRunCGGibbs(X, y, "gaussian", pr, extra={"sd": 1e-4},
+                         tuning={"w": 0.7})
+    assert fr2.eval_cache == "per_obs"
+    with pytest.raises(ValueError, match="eval_cache"):
+        FreeRunCGGibbs(X, y, "gaussian", pr, extra={"sd": 1.0},
+                       tuning={"w": 0.7}, eval_cache="bogus")
