@@ -60,6 +60,7 @@ def mcmcglm(
     adapt_w: bool = False,
     weights=None,
     thin: int = 1,
+    mesh=None,
     **tuning,
 ) -> MCMCGLM:
     """Draw MCMC samples from a GLM posterior with the CGGibbs sampler.
@@ -103,6 +104,11 @@ def mcmcglm(
       scan/while engine.  "fused" is the whole-sweep Pallas kernel
       (TPU + iid prior + stepping_out only; ~0.83x the XLA engine at
       C=256 — kept for kernel-level experimentation).
+    - ``mesh`` — a ``jax.sharding.Mesh`` (see ``parallel.make_mesh``) to
+      run multi-chip: the freerun engine shards chains (one independent
+      automaton per device, zero collectives; chain-axis-only meshes);
+      the xla engine shards chains x observations with psum'd likelihood
+      reductions (tall-data path).
 
     Returns an :class:`MCMCGLM` with ``(n_chains, n_samples + 1, d)`` draws.
     """
@@ -182,16 +188,28 @@ def mcmcglm(
     if use_fused:
         from .fused import FusedCGGibbs
 
+        if mesh is not None:
+            raise ValueError("engine='fused' is single-chip; mesh unsupported")
         sampler = FusedCGGibbs(
             design.X, design.y, fam, prior, extra=extra, tuning=tuning
         )
     elif use_freerun:
-        from .freerun import FreeRunCGGibbs
+        if mesh is not None:
+            # chain-sharded free-running over the mesh (one independent
+            # automaton per device, zero collectives)
+            from .parallel.freerun_sharded import ShardedFreeRunCGGibbs
 
-        sampler = FreeRunCGGibbs(
-            design.X, design.y, fam, prior, extra=extra, tuning=tuning,
-            obs_weights=weights, dtype=dtype,
-        )
+            sampler = ShardedFreeRunCGGibbs(
+                design.X, design.y, fam, prior, mesh=mesh, extra=extra,
+                tuning=tuning, obs_weights=weights, dtype=dtype,
+            )
+        else:
+            from .freerun import FreeRunCGGibbs
+
+            sampler = FreeRunCGGibbs(
+                design.X, design.y, fam, prior, extra=extra, tuning=tuning,
+                obs_weights=weights, dtype=dtype,
+            )
     else:
         config = EngineConfig(
             sample_method=sample_method,
@@ -199,16 +217,29 @@ def mcmcglm(
             slice_kernel=kernel if kernel is not None else "stepping_out",
             dtype=dtype,
         )
-        sampler = CGGibbs(
-            design.X,
-            design.y,
-            fam,
-            prior,
-            extra=extra,
-            config=config,
-            tuning=tuning,
-            obs_weights=weights,
-        )
+        if mesh is not None:
+            if weights is not None:
+                raise ValueError(
+                    "observation weights with a mesh are only supported by "
+                    "the freerun engine"
+                )
+            from .parallel.sharded_engine import ShardedCGGibbs
+
+            sampler = ShardedCGGibbs(
+                design.X, design.y, fam, prior, extra=extra, config=config,
+                tuning=tuning, mesh=mesh,
+            )
+        else:
+            sampler = CGGibbs(
+                design.X,
+                design.y,
+                fam,
+                prior,
+                extra=extra,
+                config=config,
+                tuning=tuning,
+                obs_weights=weights,
+            )
 
     progress_cb = None
     if progress and chunk_size <= 0:

@@ -1,0 +1,166 @@
+"""Multi-chip FreeRunCGGibbs: chain-sharded free-running via shard_map.
+
+Why shard_map and not GSPMD placement (the ShardedCGGibbs approach): the
+free-running engine's outer ``lax.while_loop`` condition is a reduction
+over ALL chains (``any(sweep_count < n_sweeps)``).  Under GSPMD that
+becomes a cross-chip all-reduce on every pass — a per-pass latency tax and
+a global tail (every chip spins until the slowest chain anywhere on the
+mesh finishes).  Chains are i.i.d., so nothing in the sampler ever needs
+to cross chips: ``shard_map`` over the ``chain`` mesh axis runs one
+completely independent free-running automaton per device — zero collectives
+from init to final draw, per-device tails, and (given one PRNG key per
+shard) bitwise-identical draws to running each shard's chains alone.
+
+This is the production chain-scaling path for the BASELINE 4096-chain
+configuration: X and y are replicated per chip (the design matrix is the
+small object at GLM scale — p=1000, n=10k is 40 MB), chains are the
+data-parallel axis (SURVEY.md §2.3), and scaling efficiency is limited
+only by per-chip tail effects, not communication.  For tall datasets where
+X does NOT fit per-chip, use :class:`ShardedCGGibbs`, which shards the
+observation axis and psums the per-shard log-density sums.
+
+Reference counterpart: none — the R package's only parallelism is
+process-level experiment fan-out (R/slice_utilities.R:72-79).  Pooled
+cross-shard diagnostics live in :mod:`mcmcglm_tpu.parallel.pooled`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Mapping, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map as _shard_map_impl
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_impl
+
+
+def shard_map(f, **kw):
+    """shard_map with varying-axis checking off: the automaton's while-loop
+    carries are initialised inside the body (replicated zeros) and become
+    chain-varying on the first pass, which the strict VMA checker rejects.
+    Handles the check_vma (new) / check_rep (old) kwarg rename."""
+    try:
+        return _shard_map_impl(f, check_vma=False, **kw)
+    except TypeError:
+        return _shard_map_impl(f, check_rep=False, **kw)
+
+from ..freerun import FreeRunCGGibbs, FreeRunState
+from .mesh import CHAIN_AXIS, make_mesh
+
+__all__ = ["ShardedFreeRunCGGibbs"]
+
+
+class ShardedFreeRunCGGibbs:
+    """FreeRunCGGibbs over the ``chain`` axis of a device mesh.
+
+    Same ``init`` / ``warmup`` / ``run`` / ``sample`` surface as
+    :class:`~mcmcglm_tpu.freerun.FreeRunCGGibbs`; ``n_chains`` must be
+    divisible by the number of chain shards.  The returned state's arrays
+    are global ``jax.Array``\\ s sharded on their leading (chain) axis —
+    except ``key``, which holds one PRNG key per shard (shape (S,)).
+    """
+
+    def __init__(self, X, y, family, prior, mesh: Optional[Mesh] = None,
+                 **kwargs):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        if self.mesh.shape.get("obs", 1) != 1:
+            raise ValueError(
+                "ShardedFreeRunCGGibbs shards chains only (X is replicated "
+                "per chip); use ShardedCGGibbs to shard the observation axis"
+            )
+        self.n_shards = self.mesh.shape[CHAIN_AXIS]
+        self.inner = FreeRunCGGibbs(X, y, family, prior, **kwargs)
+        self._fn_cache: dict = {}
+
+    # local (per-shard) <-> global state plumbing: every FreeRunState field
+    # is batched over chains on axis 0 except ``key``; the sharded state
+    # carries one key per shard on axis 0 instead.
+    def _specs(self):
+        s = P(CHAIN_AXIS)
+        return FreeRunState(
+            beta=P(CHAIN_AXIS, None), eta=P(CHAIN_AXIS, None),
+            ld0=s if self.inner.eval_cache == "scalar" else P(CHAIN_AXIS, None),
+            key=s, logw=P(CHAIN_AXIS, None),
+            j=s, phase=s, stepdir=s, level=s, L=s, R=s, budL=s, budR=s,
+            b0=s, lp0=s, w=s, xprop=s, n_shrink=s, nev=s,
+        )
+
+    def _check_chains(self, n_chains: int) -> int:
+        if n_chains % self.n_shards:
+            raise ValueError(
+                f"n_chains={n_chains} not divisible by "
+                f"{self.n_shards} chain shards"
+            )
+        return n_chains // self.n_shards
+
+    def init(self, key, n_chains: int) -> FreeRunState:
+        c_local = self._check_chains(n_chains)
+        specs = self._specs()
+
+        def init_shard(keys):
+            st = self.inner._init(keys[0], c_local)
+            return st._replace(key=st.key[None])
+
+        fn = jax.jit(
+            shard_map(
+                init_shard, mesh=self.mesh, in_specs=P(CHAIN_AXIS),
+                out_specs=specs,
+            )
+        )
+        return fn(jax.random.split(key, self.n_shards))
+
+    def _run_sharded(self, state: FreeRunState, n_sweeps: int, adapt: bool,
+                     shrink_only: bool):
+        specs = self._specs()
+        key_ = (n_sweeps, adapt, shrink_only, int(state.beta.shape[0]))
+        fn = self._fn_cache.get(key_)
+        if fn is None:
+
+            def run_shard(st):
+                st2, draws = self.inner._run(
+                    st._replace(key=st.key[0]), n_sweeps, adapt, shrink_only
+                )
+                return st2._replace(key=st2.key[None]), draws
+
+            fn = jax.jit(
+                shard_map(
+                    run_shard, mesh=self.mesh, in_specs=(specs,),
+                    out_specs=(specs, P(CHAIN_AXIS, None, None)),
+                )
+            )
+            self._fn_cache[key_] = fn
+        state, draws = fn(state)
+        return state, draws, state.nev
+
+    def run(self, state: FreeRunState, n_sweeps: int):
+        """Advance every chain by ``n_sweeps`` sweeps; each device's
+        automaton loops independently (no cross-chip sync at all)."""
+        return self._run_sharded(state, n_sweeps, adapt=False,
+                                 shrink_only=self.inner.shrink_only)
+
+    def warmup(self, state: FreeRunState, n_sweeps: int):
+        """Adaptive-width warmup (full stepping-out), per-shard."""
+        return self._run_sharded(state, n_sweeps, adapt=True,
+                                 shrink_only=False)
+
+    def sample(self, key, n_samples: int, n_chains: int, chunk_size: int = 0,
+               progress=None):
+        """Init from the prior, then collect ``n_samples`` sweeps per chain.
+        Returns (betas (C, n_samples + 1, d) numpy, n_evals (C,), state)."""
+        state = self.init(key, n_chains)
+        parts = [np.asarray(state.beta)[:, None, :]]
+        if chunk_size <= 0:
+            chunk_size = n_samples
+        done = 0
+        while done < n_samples:
+            step = min(chunk_size, n_samples - done)
+            state, draws, _ = self.run(state, step)
+            parts.append(np.asarray(draws))
+            done += step
+            if progress is not None:
+                progress(done, n_samples)
+        return np.concatenate(parts, axis=1), np.asarray(state.nev), state

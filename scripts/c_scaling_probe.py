@@ -34,9 +34,14 @@ def main():
         state, _, _ = eng.run(state, 10)  # compile sampling executable
         jax.block_until_ready(state.beta)
         nev0 = np.asarray(state.nev).copy()
-        sweeps = 30
+        # chunked dispatches: long single executions can exceed the remote
+        # runtime's RPC deadline (UNAVAILABLE device errors)
+        sweeps, chunk = 30, 10
         t0 = time.perf_counter()
-        state, draws, nev = eng.run(state, sweeps)
+        done = 0
+        while done < sweeps:
+            state, draws, nev = eng.run(state, chunk)
+            done += chunk
         jax.block_until_ready(draws)
         dt = time.perf_counter() - t0
         evals = float(np.max(np.asarray(nev) - nev0))

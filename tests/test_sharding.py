@@ -123,3 +123,98 @@ class TestShardedChainTuning:
         assert np.isfinite(b).all()
         # wider slices -> more evaluations per sweep
         assert nev[4:].mean() > nev[:4].mean()
+
+
+class TestShardedFreeRun:
+    """Chain-sharded free-running engine (parallel/freerun_sharded.py):
+    one independent automaton per device, zero collectives."""
+
+    def test_runs_and_recovers(self, problem):
+        from mcmcglm_tpu.parallel import ShardedFreeRunCGGibbs
+
+        X, y, _ = problem
+        d = X.shape[1]
+        P_ = X.T @ X + np.eye(d)
+        mu = np.linalg.solve(P_, X.T @ y)
+        mesh = make_mesh(8, 1)
+        eng = ShardedFreeRunCGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), d),
+            extra={"sd": 1.0}, tuning={"w": 0.7}, mesh=mesh,
+        )
+        st = eng.init(jax.random.key(0), 16)
+        st, _, _ = eng.warmup(st, 60)
+        st, draws, nev = eng.run(st, 300)
+        draws = np.asarray(draws)
+        assert draws.shape == (16, 300, d)
+        post = draws[:, 60:, :].reshape(-1, d)
+        assert np.abs(post.mean(0) - mu).max() < 0.05
+        assert np.asarray(nev).shape == (16,)
+
+    def test_shard_runs_match_standalone(self, problem):
+        """Each shard's chains are bitwise what a standalone FreeRunCGGibbs
+        produces from that shard's key — sharding adds nothing but
+        placement."""
+        from mcmcglm_tpu.freerun import FreeRunCGGibbs
+        from mcmcglm_tpu.parallel import ShardedFreeRunCGGibbs
+
+        X, y, _ = problem
+        d = X.shape[1]
+        pr = mg.IIDPrior(mg.Normal(0, 1), d)
+        kw = dict(extra={"sd": 1.0}, tuning={"w": 0.7})
+        mesh = make_mesh(8, 1)
+        eng = ShardedFreeRunCGGibbs(X, y, "gaussian", pr, mesh=mesh, **kw)
+        key = jax.random.key(3)
+        st = eng.init(key, 16)  # 2 chains per shard
+        st, draws, _ = eng.run(st, 25)
+        draws = np.asarray(draws)
+
+        single = FreeRunCGGibbs(X, y, "gaussian", pr, **kw)
+        shard_keys = jax.random.split(key, 8)
+        for s in [0, 3, 7]:
+            st1 = single.init(shard_keys[s], 2)
+            st1, d1, _ = single.run(st1, 25)
+            np.testing.assert_array_equal(draws[2 * s : 2 * s + 2], np.asarray(d1))
+
+    def test_validation(self, problem):
+        from mcmcglm_tpu.parallel import ShardedFreeRunCGGibbs
+
+        X, y, _ = problem
+        pr = mg.IIDPrior(mg.Normal(0, 1), X.shape[1])
+        with pytest.raises(ValueError, match="divisible"):
+            eng = ShardedFreeRunCGGibbs(
+                X, y, "gaussian", pr, extra={"sd": 1.0}, tuning={"w": 0.7},
+                mesh=make_mesh(8, 1),
+            )
+            eng.init(jax.random.key(0), 12)
+        with pytest.raises(ValueError, match="observation"):
+            ShardedFreeRunCGGibbs(
+                X, y, "gaussian", pr, extra={"sd": 1.0}, tuning={"w": 0.7},
+                mesh=make_mesh(4, 2),
+            )
+
+
+def test_api_mesh_routing(problem):
+    """mg.mcmcglm(mesh=...) routes to the sharded engines."""
+    X, y, _ = problem
+    d = X.shape[1]
+    P_ = X.T @ X + np.eye(d)
+    mu = np.linalg.solve(P_, X.T @ y)
+    mesh = make_mesh(8, 1)
+    fit = mg.mcmcglm(
+        X=X, y=y, family="gaussian", n_samples=400, burnin=100,
+        n_chains=8, seed=0, engine="auto", w=0.7, mesh=mesh,
+        log_likelihood_extra_args={"sd": 1.0},
+    )
+    assert np.abs(np.asarray(fit.coef()) - mu).max() < 0.06
+    fit2 = mg.mcmcglm(
+        X=X, y=y, family="gaussian", n_samples=200, burnin=50,
+        n_chains=8, seed=0, engine="xla", w=0.7, mesh=make_mesh(4, 2),
+        log_likelihood_extra_args={"sd": 1.0},
+    )
+    assert np.abs(np.asarray(fit2.coef()) - mu).max() < 0.1
+    with pytest.raises(ValueError, match="single-chip"):
+        mg.mcmcglm(
+            X=X, y=y, family="gaussian", n_samples=50, burnin=10,
+            n_chains=8, engine="fused", w=0.7, mesh=mesh,
+            log_likelihood_extra_args={"sd": 1.0},
+        )
