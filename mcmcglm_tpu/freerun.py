@@ -348,11 +348,14 @@ class FreeRunCGGibbs:
         if adapt:
             # Robbins-Monro pull of log w_j toward ~3x the accepted move;
             # drop-mode scatter touches only committing lanes' (c, j) slots
+            # adapt only on accept-with-move commits: a shrink-exhausted
+            # commit has move = 0 and would pull log w toward log(1e-6) —
+            # a width death-spiral for sticky coordinates
             move = jnp.abs(b_star - s.b0)
             target = jnp.log(self.adapt_c * move + 1e-6)
             lw_j = jnp.take_along_axis(s.logw, s.j[:, None], axis=1)[:, 0]
             new_lw = (1.0 - self._adapt_rate) * lw_j + self._adapt_rate * target
-            jw = jnp.where(commit, s.j, self.d)  # out-of-bounds => dropped
+            jw = jnp.where(accept_move, s.j, self.d)  # out-of-bounds => dropped
             logw = s.logw.at[rows, jw].set(new_lw, mode="drop")
 
         # coordinate / sweep bookkeeping

@@ -29,39 +29,37 @@ from mcmcglm_tpu.parallel.pooled import ChainMoments, pooled_summary
 
 
 def run_config(name, family, n, d, prior, w, n_chains, burnin, timed, extra=None):
+    """Freerun engine (the production configuration): adaptive-width warmup
+    over the burn-in, then frozen-width shrink-only sampling."""
     X, y, beta_true = generate_glm_data(
         family if family != "gaussian-readme" else "gaussian", n=n, d=d, seed=0
     )
     fam = "gaussian" if family.startswith("gaussian") else family
-    eng = mg.CGGibbs(X, y, fam, mg.make_beta_prior(prior, d), extra=extra or {},
-                     tuning={"w": w})
+    from mcmcglm_tpu.freerun import FreeRunCGGibbs
+
+    eng = FreeRunCGGibbs(X, y, fam, mg.make_beta_prior(prior, d),
+                         extra=extra or {}, tuning={"w": w})
     state = eng.init(jax.random.key(0), n_chains)
     t0 = time.perf_counter()
-    state, b, _ = eng.run(state, 1)
-    jax.block_until_ready(b)
+    state, _, _ = eng.warmup(state, burnin)  # adapt + burn in, one executable
+    jax.block_until_ready(state.beta)
     compile_s = time.perf_counter() - t0
 
     # chunked dispatches: long executions can exceed remote-runtime deadlines
     chunk = max(1, min(30, 7680 // n_chains))  # keep each dispatch under ~60s
-    done = 0
-    while done < burnin:
-        step = min(chunk, burnin - done)
-        state, b, _ = eng.run(state, step)
-        jax.block_until_ready(b)
-        done += step
+    state, b, _ = eng.run(state, chunk)  # compile the sampling executable
+    jax.block_until_ready(b)
     t0 = time.perf_counter()
     parts = []
-    nevs = []
     done = 0
     while done < timed:
         step = min(chunk, timed - done)
-        state, betas, nev = eng.run(state, step)
-        parts.append(np.asarray(betas))
-        nevs.append(np.asarray(nev))
+        state, betas, _ = eng.run(state, step)
+        parts.append(betas)  # stays on device during the timed section
         done += step
+    jax.block_until_ready(parts)
     dt = time.perf_counter() - t0
-    draws = np.concatenate(parts, axis=1)
-    nev = np.concatenate(nevs, axis=1)
+    draws = np.concatenate([np.asarray(p) for p in parts], axis=1)
     ess = mg.ess(draws)
     rhat = mg.split_rhat(draws)
     err = np.abs(draws.reshape(-1, d).mean(0) - beta_true)
@@ -131,6 +129,8 @@ def run_pooled_4096(n, d, n_chains, burnin, timed):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--skip-pod", action="store_true",
+                    help="skip the long 4096-chain pooled config")
     args = ap.parse_args()
     s = args.small
 
@@ -146,8 +146,9 @@ def main():
     run_config("gaussian_p10k_stress", "gaussian",
                1000 if s else 2000, 1000 if s else 10_000,
                mg.Normal(0, 1), 0.5, 8, 5, 10, extra={"sd": 1.0})
-    run_pooled_4096(2000 if s else 10_000, 100 if s else 1000,
-                    64 if s else 4096, 20 if s else 30, 25 if s else 30)
+    if not args.skip_pod:
+        run_pooled_4096(2000 if s else 10_000, 100 if s else 1000,
+                        64 if s else 4096, 20 if s else 30, 25 if s else 30)
 
 
 if __name__ == "__main__":
