@@ -425,6 +425,71 @@ class FreeRunCGGibbs:
         return self._run_cached(state, n_sweeps, adapt=False,
                                 shrink_only=self.shrink_only)
 
+    # -- thinned collection with streaming moments (pod-scale mode) --------
+
+    def _run_thinned_impl(self, state: FreeRunState, moments, n_outer: int,
+                          thin: int, shrink_only: bool):
+        """lax.scan over n_outer blocks of `thin` free-running sweeps each;
+        every block's draws are merged into per-chain Welford moments on
+        device (chunk-merge form: within-block centering keeps the update
+        float32-safe) and only the block's LAST draw is retained — memory is
+        O(C*(n_outer + thin)*d) instead of O(C*n_outer*thin*d).  The merge
+        runs once per `thin` sweeps, ~3*d passes of (C, n) traffic each, so
+        its (C, d)-sized streams are free by comparison."""
+
+        def outer(carry, _):
+            st, (cnt, mean, m2) = carry
+            st, draws = self._run(st, thin, adapt=False,
+                                  shrink_only=shrink_only)
+            mu_c = jnp.mean(draws, axis=1)  # (C, d)
+            m2_c = jnp.sum((draws - mu_c[:, None, :]) ** 2, axis=1)
+            cnt2 = cnt + float(thin)
+            delta = mu_c - mean
+            ratio = (float(thin) / cnt2)[:, None]
+            mean2 = mean + delta * ratio
+            m22 = m2 + m2_c + delta * delta * (cnt * float(thin) / cnt2)[:, None]
+            return (st, (cnt2, mean2, m22)), draws[:, -1]
+
+        (state, mom), kept = lax.scan(
+            outer, (state, moments), None, length=n_outer
+        )
+        kept = jnp.swapaxes(kept, 0, 1)  # (n_outer, C, d) -> (C, n_outer, d)
+        return state, mom, kept
+
+    def run_thinned(self, state: FreeRunState, n_outer: int, thin: int,
+                    moments=None):
+        """Advance chains by ``n_outer * thin`` sweeps, keeping every
+        ``thin``-th draw and streaming per-chain Welford moments on device —
+        the pod-scale collection mode (mirrors CGGibbs.run_thinned; feeds
+        parallel.pooled.pooled_summary).
+
+        Returns (state, moments, draws (C, n_outer, d), n_evals (C,)) —
+        ``moments`` is a ChainMoments with per-chain count (C,), and
+        ``n_evals`` is the cumulative per-chain evaluation counter."""
+        from .parallel.pooled import ChainMoments
+
+        C = int(state.beta.shape[0])
+        if moments is None:
+            moments = ChainMoments(
+                count=jnp.zeros((C,), self.dtype),
+                mean=jnp.zeros((C, self.d), self.dtype),
+                m2=jnp.zeros((C, self.d), self.dtype),
+            )
+        key_ = ("thinned", n_outer, thin, self.shrink_only, C)
+        fn = self._run_cache.get(key_)
+        if fn is None:
+            def impl(st, mom):
+                st, (cnt, mean, m2), draws = self._run_thinned_impl(
+                    st, (mom.count, mom.mean, mom.m2), n_outer, thin,
+                    self.shrink_only,
+                )
+                return st, ChainMoments(cnt, mean, m2), draws
+
+            fn = jax.jit(impl)
+            self._run_cache[key_] = fn
+        state, moments, draws = fn(state, moments)
+        return state, moments, draws, state.nev
+
     def warmup(self, state: FreeRunState, n_sweeps: int):
         """Adaptive warmup: per-(chain, coordinate) slice widths pulled
         toward ~3x the accepted move (Robbins-Monro in log space), FROZEN

@@ -30,6 +30,7 @@ from functools import partial
 from typing import Mapping, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
@@ -146,6 +147,62 @@ class ShardedFreeRunCGGibbs:
         """Adaptive-width warmup (full stepping-out), per-shard."""
         return self._run_sharded(state, n_sweeps, adapt=True,
                                  shrink_only=False)
+
+    def run_thinned(self, state: FreeRunState, n_outer: int, thin: int,
+                    moments=None):
+        """Thinned collection + streaming per-chain Welford moments, per
+        shard (FreeRunCGGibbs.run_thinned over the chain mesh axis — the
+        BASELINE pod configuration's collection mode).  Returns
+        (state, moments, draws (C, n_outer, d), n_evals (C,)); moments
+        arrays are chain-sharded, so ``pooled_summary`` reductions over
+        them lower to psums under jit."""
+        from .pooled import ChainMoments
+
+        specs = self._specs()
+        mom_specs = ChainMoments(
+            count=P(CHAIN_AXIS), mean=P(CHAIN_AXIS, None),
+            m2=P(CHAIN_AXIS, None),
+        )
+        C = int(state.beta.shape[0])
+        if moments is None:
+            d = self.inner.d
+            dt = self.inner.dtype
+            zeros = jax.jit(
+                lambda: ChainMoments(
+                    count=jnp.zeros((C,), dt),
+                    mean=jnp.zeros((C, d), dt),
+                    m2=jnp.zeros((C, d), dt),
+                ),
+                out_shardings=jax.tree.map(
+                    lambda s: NamedSharding(self.mesh, s), mom_specs
+                ),
+            )
+            moments = zeros()
+        key_ = ("thinned", n_outer, thin, C)
+        fn = self._fn_cache.get(key_)
+        if fn is None:
+
+            def run_shard(st, mom):
+                st2, (cnt, mean, m2), draws = self.inner._run_thinned_impl(
+                    st._replace(key=st.key[0]),
+                    (mom.count, mom.mean, mom.m2),
+                    n_outer, thin, self.inner.shrink_only,
+                )
+                return (
+                    st2._replace(key=st2.key[None]),
+                    ChainMoments(cnt, mean, m2),
+                    draws,
+                )
+
+            fn = jax.jit(
+                shard_map(
+                    run_shard, mesh=self.mesh, in_specs=(specs, mom_specs),
+                    out_specs=(specs, mom_specs, P(CHAIN_AXIS, None, None)),
+                )
+            )
+            self._fn_cache[key_] = fn
+        state, moments, draws = fn(state, moments)
+        return state, moments, draws, state.nev
 
     def sample(self, key, n_samples: int, n_chains: int, chunk_size: int = 0,
                progress=None):

@@ -176,3 +176,68 @@ def test_eval_cache_auto_resolution():
     with pytest.raises(ValueError, match="eval_cache"):
         FreeRunCGGibbs(X, y, "gaussian", pr, extra={"sd": 1.0},
                        tuning={"w": 0.7}, eval_cache="bogus")
+
+
+def test_run_thinned_moment_merge_exact():
+    """At thin=1 every draw is kept, so the streamed Welford moments must
+    equal numpy moments computed over the returned draws.  (Bitwise
+    cross-chunking equality with run() does NOT hold by design: lanes that
+    finish their sweep quota early keep consuming the shared per-pass key
+    stream until the slowest lane finishes, so chunk boundaries re-align
+    the PRNG — equality across chunkings is distributional only, as for
+    chunked run(); see test_run_thinned_recovers_posterior.)"""
+    X, y, mu, sd = _gaussian_problem(n=300, d=4, seed=10)
+    pr = mg.IIDPrior(mg.Normal(0.0, 1.0), 4)
+    fr = FreeRunCGGibbs(X, y, "gaussian", pr, extra={"sd": 1.0},
+                        tuning={"w": 0.7})
+    st0 = fr.init(jax.random.key(11), 8)
+    st0, _, _ = fr.warmup(st0, 30)
+
+    st, mom, kept, nev = fr.run_thinned(st0, n_outer=12, thin=1)
+    da = np.asarray(kept)  # (C, 12, d): all draws
+    np.testing.assert_array_equal(np.asarray(st.beta), da[:, -1])
+    np.testing.assert_allclose(np.asarray(mom.count), 12.0)
+    np.testing.assert_allclose(np.asarray(mom.mean), da.mean(axis=1),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(mom.m2),
+        ((da - da.mean(axis=1, keepdims=True)) ** 2).sum(axis=1),
+        rtol=1e-5, atol=1e-7,
+    )
+    assert np.asarray(nev).min() > 0
+
+
+def test_run_thinned_recovers_posterior():
+    """Thinned collection + streamed moments recover the analytic conjugate
+    posterior (moments see every sweep, kept draws every thin-th)."""
+    X, y, mu, sd = _gaussian_problem(n=300, d=4, seed=11)
+    pr = mg.IIDPrior(mg.Normal(0.0, 1.0), 4)
+    fr = FreeRunCGGibbs(X, y, "gaussian", pr, extra={"sd": 1.0},
+                        tuning={"w": 0.7})
+    st = fr.init(jax.random.key(12), 16)
+    st, _, _ = fr.warmup(st, 100)
+    st, mom, kept, _ = fr.run_thinned(st, n_outer=150, thin=3)
+    from mcmcglm_tpu.parallel.pooled import ChainMoments, pooled_summary
+    summ = pooled_summary(ChainMoments(mom.count[0], mom.mean, mom.m2))
+    assert np.abs(np.asarray(summ["mean"]) - mu).max() < 0.03
+    assert np.abs(np.sqrt(np.asarray(summ["var"])) / sd - 1.0).max() < 0.12
+    assert float(np.max(np.asarray(summ["rhat"]))) < 1.05
+    post = np.asarray(kept).reshape(-1, 4)
+    assert np.abs(post.mean(0) - mu).max() < 0.04
+
+
+def test_run_thinned_chunked_accumulation():
+    """Passing moments back in across chunked run_thinned calls continues
+    the same accumulation (the pod-scale chunked dispatch pattern)."""
+    X, y, _, _ = _gaussian_problem(n=200, d=3, seed=12)
+    pr = mg.IIDPrior(mg.Normal(0.0, 1.0), 3)
+    fr = FreeRunCGGibbs(X, y, "gaussian", pr, extra={"sd": 1.0},
+                        tuning={"w": 0.7})
+    st = fr.init(jax.random.key(13), 4)
+    st, mom, k1, _ = fr.run_thinned(st, n_outer=3, thin=2)
+    st, mom, k2, _ = fr.run_thinned(st, n_outer=3, thin=2, moments=mom)
+    assert float(np.asarray(mom.count)[0]) == 12.0
+    from mcmcglm_tpu.parallel.pooled import ChainMoments, pooled_summary
+    summ = pooled_summary(ChainMoments(mom.count[0], mom.mean, mom.m2))
+    assert np.isfinite(np.asarray(summ["rhat"])).all()
+    assert np.isfinite(np.asarray(summ["mean"])).all()
