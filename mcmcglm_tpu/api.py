@@ -166,7 +166,6 @@ def mcmcglm(
         freerun_eligible = (
             kernel.name == "stepping_out"
             and linear_predictor_calc == "update"
-            and thin <= 1
         )
         if engine == "fused":
             if not fused_eligible:
@@ -180,7 +179,7 @@ def mcmcglm(
             if not freerun_eligible:
                 raise ValueError(
                     "engine='freerun' requires stepping_out + "
-                    "linear_predictor_calc='update' and thin=1"
+                    "linear_predictor_calc='update'"
                 )
             use_freerun = True
         elif engine == "auto":
@@ -263,7 +262,7 @@ def mcmcglm(
     if use_fused:
         betas, n_evals, _ = sampler.sample(
             jax.random.key(seed), n_samples, n_chains=n_chains,
-            chunk_size=chunk_size,
+            chunk_size=chunk_size, progress=progress_cb,
         )
         n_evals = np.broadcast_to(n_evals, (n_chains, n_samples))
     elif use_freerun:
@@ -276,11 +275,40 @@ def mcmcglm(
             parts = [init_beta, np.asarray(warm_betas)]
         else:
             parts = [init_beta]
-        state, samp_betas, nev = sampler.run(state, n_samples - burnin)
-        parts.append(np.asarray(samp_betas))
-        betas = np.concatenate(parts, axis=1)
+        if progress_cb is not None:
+            progress_cb(burnin, n_samples)
+        # n_evals bookkeeping: state.nev is cumulative, so warmup
+        # evaluations are excluded from the reported per-sweep counts
+        nev_warm = np.asarray(state.nev).copy()
+        n_keep = n_samples - burnin
+        if thin > 1:
+            # thinned collection + streaming Welford moments on device
+            n_outer = n_keep // thin
+            state, _, kept, _ = sampler.run_thinned(state, n_outer, thin)
+            betas = np.concatenate([init_beta, np.asarray(kept)], axis=1)
+            n_sweeps_run = n_outer * thin
+            burnin_out = 0  # collected draws are already post-burn-in
+            if progress_cb is not None:
+                progress_cb(n_samples, n_samples)
+        else:
+            if chunk_size > 0:
+                done = 0
+                while done < n_keep:
+                    step = min(chunk_size, n_keep - done)
+                    state, sb, _ = sampler.run(state, step)
+                    parts.append(np.asarray(sb))
+                    done += step
+                    if progress_cb is not None:
+                        progress_cb(burnin + done, n_samples)
+            else:
+                state, samp_betas, _ = sampler.run(state, n_keep)
+                parts.append(np.asarray(samp_betas))
+            betas = np.concatenate(parts, axis=1)
+            n_sweeps_run = n_keep
+        nev_sampling = np.asarray(state.nev) - nev_warm
         n_evals = np.broadcast_to(
-            (np.asarray(nev) / max(n_samples, 1))[:, None], (n_chains, n_samples)
+            (nev_sampling / max(n_sweeps_run, 1))[:, None],
+            (n_chains, max(n_sweeps_run, 1)),
         )
     elif thin > 1 and sample_method == "slice_sampling" and not use_fused:
         # memory-bounded collection: burn in, then keep every thin-th draw
@@ -291,23 +319,37 @@ def mcmcglm(
             state, _, _ = sampler.warmup(state, burnin)
         else:
             state, _, _ = sampler.run(state, burnin)
+        if progress_cb is not None:
+            progress_cb(burnin, n_samples)
         n_outer = (n_samples - burnin) // thin
         state, _, draws, nev = sampler.run_thinned(state, n_outer, thin)
         betas = np.concatenate([init_beta, np.asarray(draws)], axis=1)
         n_evals = np.asarray(nev)
         burnin_out = 0  # collected draws are already post-burn-in
+        if progress_cb is not None:
+            progress_cb(n_samples, n_samples)
     elif adapt_w and sample_method == "slice_sampling":
         # adaptive burn-in, then frozen-width sampling
         state = sampler.init(jax.random.key(seed), n_chains)
         init_beta = np.asarray(state.beta)[:, None, :]
         state, warm_betas, warm_nev = sampler.warmup(state, burnin)
-        state, samp_betas, samp_nev = sampler.run(state, n_samples - burnin)
-        betas = np.concatenate(
-            [init_beta, np.asarray(warm_betas), np.asarray(samp_betas)], axis=1
-        )
-        n_evals = np.concatenate(
-            [np.asarray(warm_nev), np.asarray(samp_nev)], axis=1
-        )
+        if progress_cb is not None:
+            progress_cb(burnin, n_samples)
+        parts = [init_beta, np.asarray(warm_betas)]
+        nev_parts = [np.asarray(warm_nev)]
+        n_keep = n_samples - burnin
+        done = 0
+        step_size = chunk_size if chunk_size > 0 else n_keep
+        while done < n_keep:
+            step = min(step_size, n_keep - done)
+            state, sb, sn = sampler.run(state, step)
+            parts.append(np.asarray(sb))
+            nev_parts.append(np.asarray(sn))
+            done += step
+            if progress_cb is not None:
+                progress_cb(burnin + done, n_samples)
+        betas = np.concatenate(parts, axis=1)
+        n_evals = np.concatenate(nev_parts, axis=1)
     else:
         betas, n_evals, _ = sampler.sample(
             jax.random.key(seed),

@@ -195,7 +195,8 @@ class FusedCGGibbs:
             self._run_cache[key_] = fn
         return fn(state)
 
-    def sample(self, key, n_samples: int, n_chains: int, chunk_size: int = 0):
+    def sample(self, key, n_samples: int, n_chains: int, chunk_size: int = 0,
+               progress=None):
         """Returns (betas (C, n_samples+1, d), n_evals (n_samples,), state)."""
         state = self.init(key, n_chains)
         init_beta = np.asarray(state.beta)[:, None, :]
@@ -210,4 +211,6 @@ class FusedCGGibbs:
             parts.append(np.asarray(betas).transpose(1, 0, 2))
             nevs.append(np.asarray(nev))
             done += step
+            if progress is not None:
+                progress(done, n_samples)
         return np.concatenate(parts, axis=1), np.concatenate(nevs), state

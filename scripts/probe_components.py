@@ -15,7 +15,9 @@ def timeit(fn, *args, reps=30):
 
 C, n, d = 256, 10_000, 1000
 X, y, _ = generate_glm_data("binomial", n=n, d=d, seed=0)
-eng = FreeRunCGGibbs(X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d), tuning={"w": 0.5})
+eng = FreeRunCGGibbs(X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d), tuning={"w": 0.5},
+                     eval_cache="scalar")  # the probes below assume ld0 is the (C,) scalar cache
+assert eng.eval_cache == "scalar"
 print("eval_cache:", eng.eval_cache, flush=True)
 state = eng.init(jax.random.key(0), C)
 Xt = eng.Xt; eta = state.eta; j = state.j; xprop = state.xprop; b0 = state.b0; ll0 = state.ld0

@@ -174,3 +174,45 @@ def test_summary_has_diagnostics(fit):
     assert {"var", "mean", "ess", "rhat"} <= set(s.columns)
     assert len(s) == 3
     assert (s["rhat"] < 1.1).all()
+
+
+class TestFreerunAPIWiring:
+    """Round-2 wiring: progress, honest n_evals, and thinning on the
+    default (freerun) engine path."""
+
+    def test_progress_prints_on_default_engine(self, dat_norm, capsys):
+        fit = mg.mcmcglm(
+            formula="Y ~ .", data=dat_norm, family="gaussian",
+            n_samples=100, burnin=20, seed=6, w=0.5, progress=True,
+        )
+        out = capsys.readouterr().out
+        assert "Sampling from posterior" in out
+        assert "100/100" in out
+        assert np.isfinite(fit.beta).all()
+
+    def test_n_evals_excludes_warmup(self, dat_norm):
+        """fit.n_evals on the freerun path reflects only sampling-phase
+        evaluations: shrink-only sampling needs ~2-4 evals/coordinate,
+        far below the full stepping-out warmup schedule."""
+        fit = mg.mcmcglm(
+            formula="Y ~ .", data=dat_norm, family="gaussian",
+            n_samples=300, burnin=100, n_chains=4, seed=7, w=0.5,
+        )
+        d = fit.beta.shape[2]
+        per_coord = fit.n_evals.mean() / d
+        assert 1.0 < per_coord < 8.0
+        # shape: one column per sampling sweep
+        assert fit.n_evals.shape == (4, 200)
+
+    def test_thin_on_freerun_engine(self, dat_norm):
+        fit = mg.mcmcglm(
+            formula="Y ~ .", data=dat_norm, family="gaussian",
+            n_samples=400, burnin=100, n_chains=4, seed=8, w=0.5,
+            thin=3, engine="freerun",
+        )
+        # (400 - 100) // 3 = 100 kept draws + init row
+        assert fit.beta.shape == (4, 101, 3)
+        assert fit.burnin == 0
+        np.testing.assert_allclose(
+            fit.coef().values, [1.0, 1.5, 2.0], atol=0.2
+        )
