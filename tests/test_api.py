@@ -216,3 +216,70 @@ class TestFreerunAPIWiring:
         np.testing.assert_allclose(
             fit.coef().values, [1.0, 1.5, 2.0], atol=0.2
         )
+
+
+class TestReferencePosteriorParity:
+    """BASELINE.md anchors: the reference publishes posterior means
+    (1.011, 1.490, 2.026) and an X2 quantile row (mean 1.997, q2.5 1.881,
+    median 2.024, q97.5 2.178) for the README gaussian model
+    (reference README.md:79-107).  Those numbers are tied to R's RNG
+    stream, so the sharp cross-implementation oracle on OUR data is the
+    exact conjugate posterior N(mu, (X'X + I)^-1) — the same closed form
+    the reference's own normal-normal testing path samples
+    (reference R/sampling.R:4-14).  This test pins the slice-sampled
+    quantile table to that analytic oracle at (better than) the
+    reference's published precision.
+
+    Documented deviation: the reference's quantile method summarises the
+    BURN-IN subset due to a filter bug (R/mcmcglm_methods.R:137, flagged
+    in SURVEY.md §7.2); we implement the documented behavior (post-burn-in
+    subset), so the analytic posterior — not the reference's buggy
+    table — is the correct target."""
+
+    def test_quantile_table_matches_conjugate_oracle(self, readme_gaussian_data):
+        from scipy.stats import norm
+
+        X, y, beta_true = readme_gaussian_data
+        d = X.shape[1]
+        cov = np.linalg.inv(X.T @ X + np.eye(d))
+        mu = cov @ (X.T @ y)
+        sd = np.sqrt(np.diag(cov))
+
+        fit = mg.mcmcglm(
+            family="gaussian", X=X, y=y,
+            columns=["(Intercept)", "X1", "X2"],
+            beta_prior=mg.Normal(0, 1),
+            n_samples=600, burnin=100, n_chains=16, seed=0, w=0.5,
+        )
+        # posterior means at the reference's published precision (~0.01-0.03)
+        np.testing.assert_allclose(fit.coef().values, mu, atol=0.015)
+        # truth recovery, like README.md:79-81
+        np.testing.assert_allclose(fit.coef().values, beta_true, atol=0.15)
+
+        q = fit.quantile(probs=(0.025, 0.5, 0.975)).set_index("var")
+        for i, name in enumerate(["(Intercept)", "X1", "X2"]):
+            row = q.loc[name]
+            np.testing.assert_allclose(row["mean"], mu[i], atol=0.015)
+            np.testing.assert_allclose(
+                row["q_025"], norm.ppf(0.025, mu[i], sd[i]), atol=0.02
+            )
+            np.testing.assert_allclose(
+                row["q_5"], mu[i], atol=0.02
+            )
+            np.testing.assert_allclose(
+                row["q_975"], norm.ppf(0.975, mu[i], sd[i]), atol=0.02
+            )
+
+    def test_slice_path_matches_normal_normal_oracle_path(self, readme_gaussian_data):
+        """The reference ships sample_method='normal-normal' explicitly as
+        the testing oracle for the slice path (R/mcmcglm.R:32-34);
+        the two paths must agree on the full posterior, not just means."""
+        X, y, _ = readme_gaussian_data
+        kw = dict(family="gaussian", X=X, y=y, beta_prior=mg.Normal(0, 1),
+                  n_samples=500, burnin=100, n_chains=8)
+        f1 = mg.mcmcglm(sample_method="slice_sampling", w=0.5, seed=1, **kw)
+        f2 = mg.mcmcglm(sample_method="normal-normal", seed=2, **kw)
+        s1 = f1.beta[:, 101:].reshape(-1, 3)
+        s2 = f2.beta[:, 101:].reshape(-1, 3)
+        np.testing.assert_allclose(s1.mean(0), s2.mean(0), atol=0.02)
+        np.testing.assert_allclose(s1.std(0), s2.std(0), rtol=0.15)
