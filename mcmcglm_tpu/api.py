@@ -194,6 +194,10 @@ def mcmcglm(
 
         if mesh is not None:
             raise ValueError("engine='fused' is single-chip; mesh unsupported")
+        if design.offset is not None:
+            raise ValueError(
+                "formula offset() terms are not supported by engine='fused'"
+            )
         sampler = FusedCGGibbs(
             design.X, design.y, fam, prior, extra=extra, tuning=tuning
         )
@@ -206,14 +210,14 @@ def mcmcglm(
             sampler = ShardedFreeRunCGGibbs(
                 design.X, design.y, fam, prior, mesh=mesh, extra=extra,
                 tuning=tuning, obs_weights=weights, dtype=dtype,
-                **dict(engine_opts or {}),
+                offset=design.offset, **dict(engine_opts or {}),
             )
         else:
             from .freerun import FreeRunCGGibbs
 
             sampler = FreeRunCGGibbs(
                 design.X, design.y, fam, prior, extra=extra, tuning=tuning,
-                obs_weights=weights, dtype=dtype,
+                obs_weights=weights, dtype=dtype, offset=design.offset,
                 **dict(engine_opts or {}),
             )
     else:
@@ -233,7 +237,7 @@ def mcmcglm(
 
             sampler = ShardedCGGibbs(
                 design.X, design.y, fam, prior, extra=extra, config=config,
-                tuning=tuning, mesh=mesh,
+                tuning=tuning, mesh=mesh, offset=design.offset,
             )
         else:
             sampler = CGGibbs(
@@ -245,6 +249,7 @@ def mcmcglm(
                 config=config,
                 tuning=tuning,
                 obs_weights=weights,
+                offset=design.offset,
             )
 
     progress_cb = None
@@ -376,4 +381,5 @@ def mcmcglm(
         elapsed_seconds=elapsed,
         family=fam,
         extra=extra,
+        offset=design.offset,
     )

@@ -117,6 +117,7 @@ class CGGibbs:
         reduce_fn=None,
         chain_tuning_names: tuple = (),
         obs_weights=None,
+        offset=None,
     ):
         self.config = config
         dtype = config.dtype
@@ -124,6 +125,16 @@ class CGGibbs:
         self.prior = prior
         X = jnp.asarray(X, dtype)
         self.n, self.d = X.shape
+        # fixed additive eta component (R's offset() model-frame term);
+        # the incremental coordinate updates never touch it — it only
+        # enters eta's initialisation (and full recomputes on the naive path)
+        if offset is not None:
+            offset = jnp.asarray(offset, dtype).reshape(-1)
+            if offset.shape[0] != self.n:
+                raise ValueError(
+                    f"offset length {offset.shape[0]} != n observations {self.n}"
+                )
+        self.offset = offset
         if prior.d != self.d:
             raise ValueError(
                 f"prior dimension {prior.d} != number of model parameters {self.d}"
@@ -181,6 +192,8 @@ class CGGibbs:
         k_init, k_run = jax.random.split(key)
         beta = jnp.asarray(self.prior.sample_beta(k_init), dtype)
         eta = matvec(beta, self.Xt)
+        if self.offset is not None:
+            eta = eta + self.offset
         ld = self.family.log_density_eta(eta, self.y, self.extra)
         if self.kernel is not None:
             kstate = jnp.full(
@@ -218,6 +231,9 @@ class CGGibbs:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         X = self.Xt.T.astype(dtype)
         y = self.y.astype(dtype)
+        if self.offset is not None:
+            # gaussian identity-link: an offset shifts the response
+            y = y - self.offset.astype(dtype)
         sigma = jnp.asarray(self.extra.get("sd", 1.0), dtype)
         cov_prior = jnp.asarray(self.prior.cov_beta(), dtype)
         if self.obs_weights is not None:
@@ -281,6 +297,8 @@ class CGGibbs:
             def g(b):
                 beta_new = beta.at[j].set(b)
                 eta_new = matvec(beta_new, self.Xt)
+                if self.offset is not None:
+                    eta_new = eta_new + self.offset
                 ll = self.reduce_fn(self.family.log_density_eta(eta_new, self.y, self.extra))
                 lp = self.prior.coord_log_prob(beta, j, b)
                 return (ll - ll_cur) + (lp - lp_cur)

@@ -13,7 +13,16 @@ and a dense design matrix:
   * ``"Y ~ X1:X2"`` and ``"Y ~ X1*X2"`` — interactions / crossed expansion;
   * categorical (pandas ``category`` / object / bool) columns expand to
     treatment-coded dummies dropping the first level, like R's default
-    contrasts; interaction terms expand over dummy pairs.
+    contrasts; interaction terms expand over dummy pairs;
+  * function terms ``log(x)``, ``sqrt(x)``, ``exp(x)`` … and arbitrary
+    arithmetic under ``I(...)`` (R's as-is operator, with R's ``^`` power
+    spelling), matching what R's ``model.matrix`` accepts
+    (R/family_data_processing.R:31-33);
+  * ``offset(expr)`` — a fixed additive component of the linear predictor
+    (coefficient pinned to 1), returned as ``Design.offset`` and threaded
+    into eta by the engines;
+  * anything outside this grammar fails loudly with a named reason
+    (never a silent mis-parse).
 
 Arrays can also bypass formulas entirely: ``design_from_arrays`` wraps an
 explicit (X, y) pair with optional column names — the natural API for the
@@ -40,6 +49,7 @@ class Design:
     columns: list  # d column names, R-style (e.g. "(Intercept)", "X1", "a:b")
     response: str  # response column name
     formula: Optional[str] = None
+    offset: Optional[np.ndarray] = None  # (n,) additive eta offset, or None
 
 
 def _as_column_dict(data) -> Mapping[str, np.ndarray]:
@@ -99,22 +109,89 @@ def _expand_var(name, col):
     return [(name, np.asarray(col, dtype=np.float64))]
 
 
+# function terms the grammar accepts outside I(...) — the transformations
+# R formulas commonly apply via model.matrix (log(x), sqrt(x), ...)
+_TERM_FUNCS = {
+    "log": np.log, "log2": np.log2, "log10": np.log10, "log1p": np.log1p,
+    "exp": np.exp, "sqrt": np.sqrt, "abs": np.abs,
+    "sin": np.sin, "cos": np.cos, "tan": np.tan,
+}
+
+
+def _split_top(s: str, seps: str):
+    """Split ``s`` at top-level occurrences of any char in ``seps`` —
+    separators inside parentheses (function/I()/offset() arguments) do not
+    split.  Returns (pieces, separators_between_them)."""
+    pieces, ops = [], []
+    depth = 0
+    cur = []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced ')' in formula term {s!r}")
+        if depth == 0 and ch in seps:
+            pieces.append("".join(cur))
+            ops.append(ch)
+            cur = []
+        else:
+            cur.append(ch)
+    if depth != 0:
+        raise ValueError(f"unbalanced '(' in formula term {s!r}")
+    pieces.append("".join(cur))
+    return pieces, ops
+
+
+def _eval_term_expr(expr: str, cols: Mapping[str, np.ndarray], context: str):
+    """Safely evaluate an arithmetic expression over data columns (the
+    inside of ``I(...)`` / ``offset(...)`` / a function term's argument).
+    R's ``^`` power operator is translated to ``**``."""
+    env = {}
+    for name, col in cols.items():
+        if name.isidentifier():
+            env[name] = np.asarray(col, dtype=np.float64)
+    env.update(_TERM_FUNCS)
+    env["pi"] = np.pi
+    code = expr.replace("^", "**")
+    try:
+        out = eval(code, {"__builtins__": {}}, env)  # noqa: S307 - no builtins
+    except NameError as e:
+        raise ValueError(
+            f"unknown variable or function in {context} term {expr!r}: {e} "
+            f"(supported functions: {sorted(_TERM_FUNCS)}, I(), offset())"
+        ) from None
+    except SyntaxError:
+        raise ValueError(
+            f"could not parse {context} term expression {expr!r}"
+        ) from None
+    return np.asarray(out, dtype=np.float64)
+
+
 def _parse_terms(rhs: str, columns: Sequence[str], response: str):
-    """Parse the RHS into (term strings, include_intercept)."""
+    """Parse the RHS into (term strings, include_intercept, offset exprs).
+    Splitting is parenthesis-aware so 'log(x + 1)' survives intact."""
     include_intercept = True
     terms: list[str] = []
-    for raw in rhs.split("+"):
+    offsets: list[str] = []
+    pieces, _ = _split_top(rhs, "+")
+    for raw in pieces:
         raw = raw.strip()
         if not raw:
             continue
         # handle subtraction of intercept written as "x - 1"
-        parts = [p.strip() for p in raw.split("-")]
+        parts, _ = _split_top(raw, "-")
+        parts = [p.strip() for p in parts]
         head, removed = parts[0], parts[1:]
         for r in removed:
             if r in ("1",):
                 include_intercept = False
             elif r:
-                raise ValueError(f"unsupported removal term '- {r}' in formula")
+                raise ValueError(
+                    f"unsupported removal term '- {r}' in formula (only "
+                    "'- 1' intercept removal is supported)"
+                )
         if head in ("0",):
             include_intercept = False
             continue
@@ -122,15 +199,50 @@ def _parse_terms(rhs: str, columns: Sequence[str], response: str):
             continue
         if head == ".":
             terms.extend(c for c in columns if c != response and c not in terms)
-        elif "*" in head:
-            a, b = [t.strip() for t in head.split("*", 1)]
+            continue
+        if head.startswith("offset(") and head.endswith(")"):
+            offsets.append(head[len("offset("):-1])
+            continue
+        star_parts, _ = _split_top(head, "*")
+        if len(star_parts) == 2:
+            a, b = [t.strip() for t in star_parts]
             for t in (a, b, f"{a}:{b}"):
                 if t not in terms:
                     terms.append(t)
+        elif len(star_parts) > 2:
+            raise ValueError(
+                f"unsupported term {head!r}: only two-way '*' crossing is "
+                "supported"
+            )
         else:
             if head not in terms:
                 terms.append(head)
-    return terms, include_intercept
+    return terms, include_intercept, offsets
+
+
+def _expand_single_term(term: str, cols: Mapping[str, np.ndarray]):
+    """Expand one non-interaction term into (name, column) pairs.
+
+    Plain column names go through categorical expansion; anything with
+    parentheses/operators is a function/``I()`` term evaluated as an
+    arithmetic expression over the data columns (R-style names kept as-is,
+    e.g. ``"log(x)"``, ``"I(x^2)"``)."""
+    term = term.strip()
+    if term.isidentifier():
+        if term not in cols:
+            raise ValueError(f"variable {term!r} not found in data")
+        return _expand_var(term, cols[term])
+    # function / I() / arithmetic term
+    if term.startswith("I(") and term.endswith(")"):
+        col = _eval_term_expr(term[2:-1], cols, "I()")
+    else:
+        col = _eval_term_expr(term, cols, "function")
+    col = np.asarray(col, dtype=np.float64)
+    if col.ndim == 0:
+        raise ValueError(
+            f"term {term!r} evaluated to a scalar, not a column"
+        )
+    return [(term, col)]
 
 
 def build_design(formula: str, data) -> Design:
@@ -142,7 +254,7 @@ def build_design(formula: str, data) -> Design:
     cols = _as_column_dict(data)
     if response not in cols:
         raise ValueError(f"response {response!r} not found in data")
-    terms, intercept = _parse_terms(rhs, list(cols.keys()), response)
+    terms, intercept, offset_exprs = _parse_terms(rhs, list(cols.keys()), response)
 
     names: list[str] = []
     columns: list[np.ndarray] = []
@@ -151,26 +263,41 @@ def build_design(formula: str, data) -> Design:
         names.append("(Intercept)")
         columns.append(np.ones(n))
     for term in terms:
-        if ":" in term:
-            a, b = [t.strip() for t in term.split(":", 1)]
-            for va in (a, b):
-                if va not in cols:
-                    raise ValueError(f"variable {va!r} not found in data")
-            for na, ca in _expand_var(a, cols[a]):
-                for nb, cb in _expand_var(b, cols[b]):
+        parts, _ = _split_top(term, ":")
+        if len(parts) == 2:
+            a, b = [t.strip() for t in parts]
+            for na, ca in _expand_single_term(a, cols):
+                for nb, cb in _expand_single_term(b, cols):
                     names.append(f"{na}:{nb}")
-                    columns.append(ca * cb)
+                    columns.append(np.asarray(ca, np.float64) * cb)
+        elif len(parts) > 2:
+            raise ValueError(
+                f"unsupported term {term!r}: only two-way ':' interactions "
+                "are supported"
+            )
         else:
-            if term not in cols:
-                raise ValueError(f"variable {term!r} not found in data")
-            for nm, c in _expand_var(term, cols[term]):
+            for nm, c in _expand_single_term(term, cols):
                 names.append(nm)
                 columns.append(c)
     if not columns:
         raise ValueError("empty model: formula produced no columns")
+    offset = None
+    if offset_exprs:
+        offset = np.zeros(n)
+        for expr in offset_exprs:
+            offset = offset + np.broadcast_to(
+                _eval_term_expr(expr, cols, "offset()"), (n,)
+            )
     X = np.column_stack(columns)
+    for nm, c in zip(names, X.T):
+        if not np.isfinite(c).all():
+            raise ValueError(
+                f"model column {nm!r} contains non-finite values "
+                "(check function-term domains, e.g. log of non-positives)"
+            )
     y = np.asarray(cols[response], dtype=np.float64)
-    return Design(X=X, y=y, columns=names, response=response, formula=formula)
+    return Design(X=X, y=y, columns=names, response=response,
+                  formula=formula, offset=offset)
 
 
 def design_from_arrays(X, y, columns=None, add_intercept=False) -> Design:

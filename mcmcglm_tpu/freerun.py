@@ -127,12 +127,22 @@ class FreeRunCGGibbs:
         adapt_c: float = 40.0,
         dtype=jnp.float32,
         eval_cache: str = "auto",
+        offset=None,
     ):
         self.family: Family = check_family(family)
         self.prior = prior
         self.dtype = dtype
         X = jnp.asarray(X, dtype)
         self.n, self.d = X.shape
+        # fixed additive eta component (R's offset() term): enters only at
+        # eta initialisation — the incremental updates preserve it
+        if offset is not None:
+            offset = jnp.asarray(offset, dtype).reshape(-1)
+            if offset.shape[0] != self.n:
+                raise ValueError(
+                    f"offset length {offset.shape[0]} != n observations {self.n}"
+                )
+        self.offset = offset
         if prior.d != self.d:
             raise ValueError(
                 f"prior dimension {prior.d} != number of model parameters {self.d}"
@@ -261,6 +271,8 @@ class FreeRunCGGibbs:
             jax.random.split(k_init, C)
         ).astype(dtype)
         eta = jax.vmap(lambda b: matvec(b, self.Xt))(beta)
+        if self.offset is not None:
+            eta = eta + self.offset[None, :]
         ld0 = self.family.log_density_eta(eta, self.y, self.extra)
         if self.eval_cache == "scalar":
             ld0 = self.reduce_fn(ld0)

@@ -74,6 +74,7 @@ class ShardedCGGibbs(CGGibbs):
         tuning: Optional[Mapping] = None,
         mesh: Optional[Mesh] = None,
         chain_tuning_names: tuple = (),
+        offset=None,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         n_obs_shards = self.mesh.shape[OBS_AXIS]
@@ -87,6 +88,13 @@ class ShardedCGGibbs(CGGibbs):
             # mask them out of the reduction with a per-row weight vector.
             X = np.concatenate([X, np.zeros((pad, X.shape[1]), X.dtype)], axis=0)
             y = np.concatenate([y, np.zeros(pad, y.dtype)])
+        if offset is not None:
+            offset = np.asarray(offset).reshape(-1)
+            if offset.shape[0] != n:
+                raise ValueError(
+                    f"offset length {offset.shape[0]} != n observations {n}"
+                )
+            offset = np.concatenate([offset, np.zeros(pad, offset.dtype)])
         self._obs_weight_np = np.concatenate(
             [np.ones(n, np.float32), np.zeros(pad, np.float32)]
         )
@@ -101,11 +109,14 @@ class ShardedCGGibbs(CGGibbs):
             tuning=tuning,
             reduce_fn=self._masked_reduce,
             chain_tuning_names=chain_tuning_names,
+            offset=offset,
         )
 
         # Commit data to the mesh: X^T slabbed over obs, y over obs.
         self.Xt = _put(self.Xt, self.mesh, P(None, OBS_AXIS))
         self.y = _put(self.y, self.mesh, P(OBS_AXIS))
+        if self.offset is not None:
+            self.offset = _put(self.offset, self.mesh, P(OBS_AXIS))
         self._obs_weight = _put(
             jnp.asarray(self._obs_weight_np, config.dtype), self.mesh, P(OBS_AXIS)
         )

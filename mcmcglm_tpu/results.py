@@ -61,6 +61,7 @@ class MCMCGLM:
     elapsed_seconds: Optional[float] = None
     family: Optional[Any] = None  # the fitted Family object (keeps the link)
     extra: Optional[Mapping[str, Any]] = None  # log_likelihood_extra_args
+    offset: Optional[np.ndarray] = None  # (n,) fixed eta offset (formula offset())
 
     # -- core accessors ----------------------------------------------------
 
@@ -132,19 +133,25 @@ class MCMCGLM:
 
     # -- posterior prediction (beyond the reference) -----------------------
 
-    def predict(self, X_new=None, kind: str = "mean", n_draws: int = 0, seed: int = 0):
+    def predict(self, X_new=None, kind: str = "mean", n_draws: int = 0, seed: int = 0,
+                offset=None):
         """Posterior draws of the GLM mean mu = linkinv(X beta) at new
         design points (the reference has no predict method).
 
         kind="link" returns draws of eta; "mean" returns linkinv(eta).
         Returns an array of shape (n_posterior_draws, n_new) using all
         post-burn-in draws (or a random subsample of ``n_draws`` > 0).
+        A model fitted with a formula ``offset()`` term applies the stored
+        offset when predicting on the training matrix; pass ``offset=`` for
+        new design points.
         """
 
         if X_new is None:
             if self.model_matrix is None:
                 raise ValueError("no stored model matrix; pass X_new")
             X_new = self.model_matrix
+            if offset is None:
+                offset = self.offset
         X_new = np.asarray(X_new, dtype=np.float64)
         post = self.post_burnin().reshape(-1, self.d)
         if n_draws and n_draws < post.shape[0]:
@@ -153,6 +160,8 @@ class MCMCGLM:
             )
             post = post[idx]
         eta = post @ X_new.T  # (draws, n_new)
+        if offset is not None:
+            eta = eta + np.asarray(offset, np.float64)[None, :]
         if kind == "link":
             return eta
         if kind != "mean":
@@ -179,6 +188,8 @@ class MCMCGLM:
             idx = np.random.default_rng(seed).choice(post.shape[0], n_draws, False)
             post = post[idx]
         eta = post @ np.asarray(self.model_matrix, np.float64).T  # (S, n)
+        if self.offset is not None:
+            eta = eta + np.asarray(self.offset, np.float64)[None, :]
         ft = _jnp_float()
         ld = self.family.log_density_eta(
             jnp.asarray(eta, ft),
