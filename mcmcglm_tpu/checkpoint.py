@@ -62,11 +62,23 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
 
+    @staticmethod
+    def _to_host(tree):
+        """device_get fully-addressable leaves; leave multi-host global
+        arrays as jax.Arrays (orbax serialises each process's addressable
+        shards in multi-host mode — a device_get there would fail)."""
+        def f(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x
+            return jax.device_get(x)
+
+        return jax.tree.map(f, tree)
+
     def save(self, step: int, state: Any, samples: Optional[np.ndarray] = None):
         # orbax refuses zero-size arrays: encode absence with a flag + sentinel
         has_samples = samples is not None
         payload = {
-            "state": jax.device_get(_pack(state)),
+            "state": self._to_host(_pack(state)),
             "samples": np.asarray(samples) if has_samples else np.zeros((1,)),
             "has_samples": np.asarray(int(has_samples)),
             "step": np.asarray(step),
@@ -86,8 +98,16 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             return None
+
+        def t(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                # restore multi-host global arrays in-place with their
+                # sharding (orbax reads each process's shards)
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            return jax.device_get(x)
+
         template = {
-            "state": jax.device_get(_pack(state_template)),
+            "state": jax.tree.map(t, _pack(state_template)),
             "samples": np.zeros((1,)),
             "has_samples": np.asarray(0),
             "step": np.asarray(0),

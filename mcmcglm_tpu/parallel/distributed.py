@@ -28,25 +28,41 @@ import jax
 
 __all__ = ["initialize", "is_distributed", "sync_global_devices"]
 
+_initialized = False
+
 
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    local_device_ids=None,
 ):
-    """Initialise the JAX distributed runtime (no-op if already done or
-    single-process).  On Cloud TPU VMs all arguments auto-detect."""
-    if jax.process_count() > 1:
-        return  # already initialised
+    """Initialise the JAX distributed runtime.  On Cloud TPU VMs all
+    arguments auto-detect from the TPU metadata environment.
+
+    Must run before any JAX computation (backend initialisation pins the
+    process-local runtime — which is also why this guard is a module flag
+    and NOT a ``jax.process_count()`` probe: the probe itself would
+    initialise the backend).  With no explicit arguments and no detectable
+    cluster environment this degrades to a single-process no-op; with
+    explicit arguments a failure is a real error and propagates."""
+    global _initialized
+    if _initialized:
+        return
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            local_device_ids=local_device_ids,
         )
+        _initialized = True
     except (ValueError, RuntimeError):
+        if explicit:
+            raise
         # single-process environment (tests, one-chip dev) — fine.
-        pass
+        _initialized = True
 
 
 def is_distributed() -> bool:

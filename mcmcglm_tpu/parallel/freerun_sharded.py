@@ -102,8 +102,12 @@ class ShardedFreeRunCGGibbs:
         c_local = self._check_chains(n_chains)
         specs = self._specs()
 
-        def init_shard(keys):
-            st = self.inner._init(keys[0], c_local)
+        def init_shard(key_data):
+            # keys arrive as replicated raw uint32 key data (multi-host
+            # safe: every process passes an identical host-local numpy
+            # operand; typed local key arrays could not be fed to a jit
+            # over a mesh spanning other processes' devices)
+            st = self.inner._init(jax.random.wrap_key_data(key_data[0]), c_local)
             return st._replace(key=st.key[None])
 
         fn = jax.jit(
@@ -112,7 +116,8 @@ class ShardedFreeRunCGGibbs:
                 out_specs=specs,
             )
         )
-        return fn(jax.random.split(key, self.n_shards))
+        kd = np.asarray(jax.random.key_data(jax.random.split(key, self.n_shards)))
+        return fn(kd)
 
     def _run_sharded(self, state: FreeRunState, n_sweeps: int, adapt: bool,
                      shrink_only: bool):

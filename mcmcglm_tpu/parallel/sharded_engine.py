@@ -149,6 +149,28 @@ class ShardedCGGibbs(CGGibbs):
                 f"n_chains={n_chains} must be divisible by the mesh chain axis "
                 f"({n_chain_shards})"
             )
-        state = super().init(key, n_chains, chain_tuning=chain_tuning)
-        shardings = self._state_sharding(tuple(dict(chain_tuning or {}).keys()))
-        return jax.device_put(state, shardings)
+        ct = {
+            k: jnp.asarray(v, self.config.dtype)
+            for k, v in dict(chain_tuning or {}).items()
+        }
+        for k, v in ct.items():
+            if v.shape[:1] != (n_chains,):
+                raise ValueError(
+                    f"chain_tuning[{k!r}] must have leading dim n_chains={n_chains}"
+                )
+        shardings = self._state_sharding(tuple(ct.keys()))
+        # Compute the init directly INTO the sharded layout (out_shardings)
+        # rather than device_put after the fact: under a multi-host mesh a
+        # post-hoc device_put would be a cross-process reshard of
+        # process-local arrays, which is not expressible; PRNG keys enter
+        # as replicated raw uint32 key data so every process passes an
+        # identical host-local operand.
+        key_data = np.asarray(
+            jax.random.key_data(jax.random.split(key, n_chains))
+        )
+
+        def _init(kd, ct):
+            return jax.vmap(self._init_one)(jax.random.wrap_key_data(kd), ct)
+
+        fn = jax.jit(_init, out_shardings=shardings)
+        return fn(key_data, ct)
