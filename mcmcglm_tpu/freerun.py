@@ -260,16 +260,27 @@ class FreeRunCGGibbs:
             xprop=xprop, phase=phase, stepdir=zero, n_shrink=zero,
         )
 
-    def init(self, key, n_chains: int) -> FreeRunState:
-        return jax.jit(partial(self._init, n_chains=n_chains))(key)
+    def init(self, key, n_chains: int, beta0=None) -> FreeRunState:
+        """Initial state for ``n_chains`` chains.  ``beta0`` (optional,
+        (d,) or (C, d)) overrides the default prior draw — e.g. the prior
+        mean or a penalised-MLE point for very wide models, where a raw
+        prior draw starts O(sqrt(d)) from the posterior bulk (the
+        R reference always inits from the prior, R/mcmcglm.R:200-213)."""
+        if beta0 is not None:
+            beta0 = jnp.asarray(beta0, self.dtype)
+            if beta0.ndim == 1:
+                beta0 = jnp.broadcast_to(beta0[None, :], (n_chains, self.d))
+        return jax.jit(partial(self._init, n_chains=n_chains))(key, beta0)
 
-    def _init(self, key, n_chains: int):
+    def _init(self, key, beta0=None, *, n_chains: int):
         dtype = self.dtype
         C = n_chains
         k_init, k_coord, k_run = jax.random.split(key, 3)
         beta = jax.vmap(self.prior.sample_beta)(
             jax.random.split(k_init, C)
         ).astype(dtype)
+        if beta0 is not None:
+            beta = jnp.asarray(beta0, dtype)
         eta = jax.vmap(lambda b: matvec(b, self.Xt))(beta)
         if self.offset is not None:
             eta = eta + self.offset[None, :]

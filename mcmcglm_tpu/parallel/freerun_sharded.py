@@ -107,7 +107,9 @@ class ShardedFreeRunCGGibbs:
             # safe: every process passes an identical host-local numpy
             # operand; typed local key arrays could not be fed to a jit
             # over a mesh spanning other processes' devices)
-            st = self.inner._init(jax.random.wrap_key_data(key_data[0]), c_local)
+            st = self.inner._init(
+                jax.random.wrap_key_data(key_data[0]), n_chains=c_local
+            )
             return st._replace(key=st.key[None])
 
         fn = jax.jit(

@@ -51,10 +51,21 @@ def pooled_summary(m: ChainMoments):
     """Pooled posterior mean, variance and (non-split) R-hat per parameter.
 
     All reductions are over the chain axis — under a sharded mesh they
-    lower to psums; the returned arrays are (d,)."""
-    K = m.count
+    lower to psums; the returned arrays are (d,).
+
+    ``count`` may be a scalar (lockstep engines: every chain holds the same
+    number of draws) or per-chain ``(C,)`` (the free-running engine commits
+    sweeps asynchronously, so its accumulator counts per chain — by
+    construction of run_thinned the counts are equal at block boundaries,
+    but the shape is (C,)); both are accepted."""
     C = m.mean.shape[0]
-    chain_var = m.m2 / jnp.maximum(K - 1.0, 1.0)  # (C, d)
+    if m.count.ndim == 1:  # per-chain counts (free-running engine)
+        Kc = m.count[:, None]  # (C, 1)
+        K = jnp.mean(m.count)
+    else:
+        Kc = m.count
+        K = m.count
+    chain_var = m.m2 / jnp.maximum(Kc - 1.0, 1.0)  # (C, d)
     W = jnp.mean(chain_var, axis=0)
     grand_mean = jnp.mean(m.mean, axis=0)
     if C > 1:

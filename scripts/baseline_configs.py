@@ -2,10 +2,19 @@
 
 Configs (BASELINE.md):
   1. gaussian n=1000 p=3 (README example) — correctness anchor
-  2. logistic n=10k p=100, normal prior
-  3. poisson/log n=10k p=100, Laplace (sparse) prior
-  4. gaussian p=10k linear-runtime stress (reduced sweep count)
-  5. 4096 parallel chains of p=1000 logistic with pooled R-hat/ESS
+  2. logistic n=10k p=100, normal prior  (+ NUTS cross-check)
+  3. poisson/log n=10k p=100, Laplace (sparse) prior  (+ NUTS cross-check)
+  4. gaussian p=10k linear-runtime stress (prior-mean init, real warmup)
+  5. 4096 parallel chains of p=1000 logistic, ShardedFreeRunCGGibbs with
+     thinned collection + streaming pooled moments (pooled R-hat/ESS)
+
+Error reporting (all configs): ``max_err_sd`` / ``med_err_sd`` are
+|posterior mean − true β| in units of the estimated posterior sd of that
+coordinate — a z-score, so ≲3 means the truth sits inside the posterior
+bulk, independent of scale/dimension.  Configs #2/#3 additionally
+cross-check the CGGibbs posterior mean against NUTS run on the same
+log-density (``nuts_max_diff_sd``), the calibration oracle the reference
+package was written to be benchmarked against (R/mcmcglm.R:5-8).
 
 Run on TPU:  python scripts/baseline_configs.py
 CPU (small): env PYTHONPATH=. JAX_PLATFORMS=cpu python scripts/baseline_configs.py --small
@@ -25,28 +34,66 @@ import numpy as np
 
 import mcmcglm_tpu as mg
 from mcmcglm_tpu.datagen import generate_glm_data
-from mcmcglm_tpu.parallel.pooled import ChainMoments, pooled_summary
+from mcmcglm_tpu.freerun import FreeRunCGGibbs
+from mcmcglm_tpu.parallel.pooled import pooled_summary
 
 
-def run_config(name, family, n, d, prior, w, n_chains, burnin, timed, extra=None):
+def _err_in_sd_units(draws, beta_true):
+    """z-scores of the posterior-mean error: (C, K, d) draws -> (d,)."""
+    flat = draws.reshape(-1, draws.shape[-1])
+    post_mean = flat.mean(0)
+    post_sd = np.maximum(flat.std(0), 1e-12)
+    return np.abs(post_mean - beta_true) / post_sd, post_mean, post_sd
+
+
+def _nuts_crosscheck(X, y, family, prior, extra, post_mean, post_sd, seed=7,
+                     n_chains=8, n_warmup=300, n_samples=300):
+    """Posterior-mean agreement with NUTS on the identical log-density,
+    reported in posterior-sd units (BASELINE 'NUTS cross-check')."""
+    from mcmcglm_tpu.baselines.logdensity import make_log_posterior
+    from mcmcglm_tpu.baselines.nuts import nuts_sample
+
+    d = X.shape[1]
+    logpost = make_log_posterior(X, y, family, prior, extra=extra)
+    init = 0.1 * jax.random.normal(jax.random.key(seed + 1), (n_chains, d))
+    res = nuts_sample(jax.random.key(seed), logpost, init,
+                      n_warmup=n_warmup, n_samples=n_samples)
+    nuts_draws = np.asarray(res.samples)  # (C, K, d)
+    nuts_mean = nuts_draws.reshape(-1, d).mean(0)
+    diff_sd = np.abs(post_mean - nuts_mean) / post_sd
+    return {
+        "nuts_max_diff_sd": round(float(diff_sd.max()), 3),
+        "nuts_med_diff_sd": round(float(np.median(diff_sd)), 3),
+        "nuts_accept": round(float(np.mean(np.asarray(res.accept_rate))), 3),
+    }
+
+
+def run_config(name, family, n, d, prior, w, n_chains, burnin, timed,
+               extra=None, nuts_check=False, init_at_prior_mean=False):
     """Freerun engine (the production configuration): adaptive-width warmup
     over the burn-in, then frozen-width shrink-only sampling."""
-    X, y, beta_true = generate_glm_data(
-        family if family != "gaussian-readme" else "gaussian", n=n, d=d, seed=0
-    )
-    fam = "gaussian" if family.startswith("gaussian") else family
-    from mcmcglm_tpu.freerun import FreeRunCGGibbs
+    X, y, beta_true = generate_glm_data(family, n=n, d=d, seed=0)
 
-    eng = FreeRunCGGibbs(X, y, fam, mg.make_beta_prior(prior, d),
+    eng = FreeRunCGGibbs(X, y, family, mg.make_beta_prior(prior, d),
                          extra=extra or {}, tuning={"w": w})
-    state = eng.init(jax.random.key(0), n_chains)
+    beta0 = np.asarray(eng.prior.mean_beta()) if init_at_prior_mean else None
+    state = eng.init(jax.random.key(0), n_chains, beta0=beta0)
     t0 = time.perf_counter()
-    state, _, _ = eng.warmup(state, burnin)  # adapt + burn in, one executable
-    jax.block_until_ready(state.beta)
+    # adapt + burn in; chunked so long adaptive runs at d=10k don't hit
+    # remote-runtime dispatch deadlines
+    wu_chunk = 20 if d >= 5000 else burnin
+    done = 0
+    while done < burnin:
+        step = min(wu_chunk, burnin - done)
+        state, _, _ = eng.warmup(state, step)
+        jax.block_until_ready(state.beta)
+        done += step
     compile_s = time.perf_counter() - t0
 
     # chunked dispatches: long executions can exceed remote-runtime deadlines
-    chunk = max(1, min(30, 7680 // n_chains))  # keep each dispatch under ~60s
+    chunk = max(1, min(30, 7680 // n_chains))
+    if d >= 5000:
+        chunk = min(chunk, 5)
     state, b, _ = eng.run(state, chunk)  # compile the sampling executable
     jax.block_until_ready(b)
     t0 = time.perf_counter()
@@ -62,65 +109,93 @@ def run_config(name, family, n, d, prior, w, n_chains, burnin, timed, extra=None
     draws = np.concatenate([np.asarray(p) for p in parts], axis=1)
     ess = mg.ess(draws)
     rhat = mg.split_rhat(draws)
-    err = np.abs(draws.reshape(-1, d).mean(0) - beta_true)
+    err_sd, post_mean, post_sd = _err_in_sd_units(draws, beta_true)
     out = {
         "config": name,
-        "family": fam,
+        "family": family,
         "n": n,
         "d": d,
         "chains": n_chains,
+        "warmup_sweeps": burnin,
         "timed_sweeps": timed,
         "seconds": round(dt, 2),
-        "compile_s": round(compile_s, 1),
+        "warmup_s": round(compile_s, 1),
         "min_ess_per_s": round(float(np.min(ess)) / dt, 2),
         "median_ess_per_s": round(float(np.median(ess)) / dt, 2),
         "max_rhat": round(float(np.max(rhat)), 4),
-        "max_abs_mean_err": round(float(err.max()), 4),
+        "max_err_sd": round(float(err_sd.max()), 3),
+        "med_err_sd": round(float(np.median(err_sd)), 3),
     }
+    if nuts_check:
+        out.update(
+            _nuts_crosscheck(X, y, family, eng.prior, extra or {},
+                             post_mean, post_sd)
+        )
     print(json.dumps(out), flush=True)
     return out
 
 
-def run_pooled_4096(n, d, n_chains, burnin, timed):
-    """Config #5: massive chain count with streaming pooled diagnostics."""
-    X, y, _ = generate_glm_data("binomial", n=n, d=d, seed=0)
-    eng = mg.CGGibbs(X, y, "binomial", mg.IIDPrior(mg.Normal(0, 1), d),
-                     tuning={"w": 0.5})
+def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin):
+    """Config #5: massive chain count on the flagship free-running engine,
+    chain-sharded over the device mesh (zero collectives), with thinned
+    collection + streaming per-chain Welford moments merged into pooled
+    R-hat on device (parallel/pooled.py)."""
+    from mcmcglm_tpu.parallel.freerun_sharded import ShardedFreeRunCGGibbs
+
+    X, y, beta_true = generate_glm_data("binomial", n=n, d=d, seed=0)
+    eng = ShardedFreeRunCGGibbs(
+        X, y, "binomial", mg.make_beta_prior(mg.Normal(0, 1), d),
+        tuning={"w": 0.5},
+    )
     state = eng.init(jax.random.key(0), n_chains)
     t0 = time.perf_counter()
-    state, b, _ = eng.run(state, 1)
-    jax.block_until_ready(b)
-    compile_s = time.perf_counter() - t0
-    chunk = max(1, min(30, 7680 // n_chains))
-    done = 0
-    while done < burnin:
-        step = min(chunk, burnin - done)
-        state, b, _ = eng.run(state, step)
-        jax.block_until_ready(b)
-        done += step
+    state, _, _ = eng.warmup(state, burnin)
+    jax.block_until_ready(state.beta)
+    warm_s = time.perf_counter() - t0
+    # compile the thinned sampling executable (one outer block)
+    state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin)
+    jax.block_until_ready(dr)
+    nev0 = np.asarray(state.nev).copy()
+
     t0 = time.perf_counter()
-    mom = None
+    mom = None  # restart moments for the timed section
     dparts = []
-    done = 0
-    while done < timed:
-        step = min(max(chunk // 2, 1), timed - done)  # x2 sweeps per outer step
-        state, mom, draws, _ = eng.run_thinned(state, n_outer=step, thin=2, moments=mom)
-        dparts.append(np.asarray(draws))
+    chunk = max(1, min(8, 4096 // max(n_chains // 8, 1)))
+    done = 1
+    state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin, moments=mom)
+    dparts.append(dr)
+    while done < n_outer:
+        step = min(chunk, n_outer - done)
+        state, mom, dr, _ = eng.run_thinned(state, n_outer=step, thin=thin,
+                                            moments=mom)
+        dparts.append(dr)
         done += step
-    jax.block_until_ready(state)
+    jax.block_until_ready(dparts)
     dt = time.perf_counter() - t0
-    draws = np.concatenate(dparts, axis=1)
-    summ = pooled_summary(ChainMoments(mom.count[0], mom.mean, mom.m2))
-    ess = mg.ess(np.asarray(draws))
+    sweeps = done * thin
+    draws = np.concatenate([np.asarray(p) for p in dparts], axis=1)
+    summ = jax.jit(pooled_summary)(mom)  # sharded reductions -> psums
+    pooled_rhat = float(np.max(np.asarray(summ["rhat"])))
+    ess = mg.ess(draws)
+    err_sd, _, _ = _err_in_sd_units(draws, beta_true)
+    evals_per_sweep = float(np.mean(np.asarray(state.nev) - nev0)) / sweeps
     out = {
-        "config": "pod_4096_chains_p%d_logistic" % d,
+        "config": "pod_%d_chains_p%d_logistic" % (n_chains, d),
+        "engine": "ShardedFreeRunCGGibbs+run_thinned",
         "chains": n_chains,
-        "sweeps": timed * 2,
+        "n": n,
+        "d": d,
+        "warmup_sweeps": burnin,
+        "sweeps": sweeps,
+        "thin": thin,
         "seconds": round(dt, 2),
-        "compile_s": round(compile_s, 1),
-        "chain_sweeps_per_s": round(n_chains * timed * 2 / dt, 1),
-        "pooled_max_rhat": round(float(np.max(np.asarray(summ["rhat"]))), 4),
+        "warmup_s": round(warm_s, 1),
+        "chain_sweeps_per_s": round(n_chains * sweeps / dt, 1),
+        "evals_per_sweep": round(evals_per_sweep, 1),
+        "pooled_max_rhat": round(pooled_rhat, 4),
         "min_ess_per_s_thinned": round(float(np.min(ess)) / dt, 2),
+        "median_ess_per_s_thinned": round(float(np.median(ess)) / dt, 2),
+        "max_err_sd": round(float(err_sd.max()), 3),
     }
     print(json.dumps(out), flush=True)
     return out
@@ -131,24 +206,34 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--skip-pod", action="store_true",
                     help="skip the long 4096-chain pooled config")
+    ap.add_argument("--only", type=int, default=0,
+                    help="run a single config (1-5)")
     args = ap.parse_args()
     s = args.small
+    only = args.only
 
-    run_config("readme_gaussian_n1000_p3", "gaussian", 1000, 3,
-               mg.Normal(0, 1), 0.5, 8 if s else 64, 100, 400,
-               extra={"sd": 1.0})
-    run_config("logistic_n10k_p100_normal", "binomial",
-               2000 if s else 10_000, 100, mg.Normal(0, 1), 0.5,
-               8 if s else 64, 60, 100)
-    run_config("poisson_n10k_p100_laplace", "poisson",
-               2000 if s else 10_000, 100, mg.Laplace(0, 1), 0.3,
-               8 if s else 64, 60, 100)
-    run_config("gaussian_p10k_stress", "gaussian",
-               1000 if s else 2000, 1000 if s else 10_000,
-               mg.Normal(0, 1), 0.5, 8, 5, 10, extra={"sd": 1.0})
-    if not args.skip_pod:
+    if only in (0, 1):
+        run_config("readme_gaussian_n1000_p3", "gaussian", 1000, 3,
+                   mg.Normal(0, 1), 0.5, 8 if s else 64, 100, 400,
+                   extra={"sd": 1.0})
+    if only in (0, 2):
+        run_config("logistic_n10k_p100_normal", "binomial",
+                   2000 if s else 10_000, 100, mg.Normal(0, 1), 0.5,
+                   8 if s else 64, 60, 100, nuts_check=True)
+    if only in (0, 3):
+        run_config("poisson_n10k_p100_laplace", "poisson",
+                   2000 if s else 10_000, 100, mg.Laplace(0, 1), 0.3,
+                   8 if s else 64, 60, 100, nuts_check=True)
+    if only in (0, 4):
+        run_config("gaussian_p10k_stress", "gaussian",
+                   1000 if s else 2000, 1000 if s else 10_000,
+                   mg.Normal(0, 1), 0.5, 8 if s else 64,
+                   10 if s else 60, 10 if s else 60,
+                   extra={"sd": 1.0}, init_at_prior_mean=True)
+    if only in (0, 5) and not args.skip_pod:
         run_pooled_4096(2000 if s else 10_000, 100 if s else 1000,
-                        64 if s else 4096, 20 if s else 30, 25 if s else 30)
+                        64 if s else 4096, 10 if s else 30,
+                        n_outer=10 if s else 30, thin=2)
 
 
 if __name__ == "__main__":
