@@ -128,6 +128,7 @@ class FreeRunCGGibbs:
         dtype=jnp.float32,
         eval_cache: str = "auto",
         offset=None,
+        spec_k: int = 1,
     ):
         self.family: Family = check_family(family)
         self.prior = prior
@@ -214,8 +215,17 @@ class FreeRunCGGibbs:
             )
             eval_cache = "scalar" if err < 0.01 else "per_obs"
         self.eval_cache = eval_cache
+        # spec_k: speculative proposals evaluated per pass (see _pass_spec).
+        # 1 = classic one-evaluation automaton; K>1 batches K target
+        # evaluations into one fused pass.
+        self.spec_k = int(spec_k)
+        if not 1 <= self.spec_k <= 32:
+            raise ValueError(f"spec_k must be in [1, 32], got {spec_k}")
         # batched prior hooks (prior API is per-chain)
         self._coord_lp = jax.vmap(self.prior.coord_log_prob, in_axes=(0, 0, 0))
+        # same, over a (C, K) proposal battery
+        self._coord_lp_k = jax.vmap(self._coord_lp, in_axes=(None, None, 1),
+                                    out_axes=1)
         self._run_cache: dict = {}
 
     # -- coordinate initialisation (batched) ---------------------------------
@@ -420,6 +430,180 @@ class FreeRunCGGibbs:
         )
         return new_state, sweep_count, draws
 
+    # -- the K-speculative pass --------------------------------------------
+
+    def _pass_spec(self, s: FreeRunState, sweep_count, draws, n_sweeps: int,
+                   adapt: bool, shrink_only: bool):
+        """K target evaluations + automaton advance per chain per pass.
+
+        The enabling fact: in Neal's shrinkage the ALL-REJECTIONS proposal
+        path is deterministic given the uniforms — rejecting x moves the
+        interval endpoint on whichever side of b0 x falls, a comparison
+        that needs no target evaluation.  So x_1..x_K can be generated up
+        front, all K targets evaluated in ONE fused (C, K, n) reduce that
+        reads eta and the gathered X^T rows once, and the FIRST acceptor
+        selected — its predecessors were genuinely rejected, so the
+        committed draw has exactly the single-proposal kernel's
+        distribution.  The same holds for stepping-out: the keep-stepping
+        endpoint sequence L, L-w, L-2w, ... is deterministic, so a pass
+        tests a K-endpoint battery (used during warmup).
+
+        Throughput: the classic pass is HBM-bound (3 (C, n) streams, VPU
+        ~10% busy on the log-density transcendentals), so the K-1 extra
+        evaluations ride nearly free while passes-per-coordinate drops
+        from the mean evaluation count (~2.8 at adapted widths) toward
+        ~1.  Wasted speculative evaluations cost VPU only.  `nev` still
+        counts ALGORITHMIC evaluations consumed (identical in law to the
+        spec_k=1 engine), not speculative ones executed.
+        """
+        dtype = self.dtype
+        K = self.spec_k
+        C = s.beta.shape[0]
+        rows = jnp.arange(C)
+        active = sweep_count < n_sweeps
+
+        key, k_u, k_begin = jax.random.split(s.key, 3)
+        U = jax.random.uniform(k_u, (C, K), dtype=dtype)
+
+        stepping = s.phase == 0
+        left = s.stepdir == 0
+
+        # -- speculative proposal batteries, (C, K) --
+        # shrink: all-rejections chain (deterministic interval recursion)
+        xs_sh, Ls_sh, Rs_sh = [], [], []
+        Lc, Rc = s.L, s.R
+        for k in range(K):
+            x = Lc + (Rc - Lc) * U[:, k]
+            xs_sh.append(x)
+            Lc = jnp.where(x < s.b0, x, Lc)
+            Rc = jnp.where(x >= s.b0, x, Rc)
+            Ls_sh.append(Lc)
+            Rs_sh.append(Rc)
+        xs_sh = jnp.stack(xs_sh, 1)
+        Ls_sh = jnp.stack(Ls_sh, 1)
+        Rs_sh = jnp.stack(Rs_sh, 1)
+        # stepping: endpoint battery in the active direction
+        ks = jnp.arange(K, dtype=dtype)[None, :]
+        x_step = jnp.where(
+            left[:, None],
+            s.L[:, None] - ks * s.w[:, None],
+            s.R[:, None] + ks * s.w[:, None],
+        )
+        xs = jnp.where(stepping[:, None], x_step, xs_sh)
+
+        # -- one fused K-proposal evaluation --
+        xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
+        deltas = xs - s.b0[:, None]  # (C, K)
+        e = s.eta[:, None, :] + xg[:, None, :] * deltas[:, :, None]
+        ld_e = self.family.log_density_eta(e, self.y, self.extra)  # (C, K, n)
+        if self.eval_cache == "scalar":
+            dll = self.reduce_fn(ld_e) - s.ld0[:, None]
+        else:
+            dll = self.reduce_fn(ld_e - s.ld0[:, None, :])
+        f = dll + (
+            jnp.asarray(self._coord_lp_k(s.beta, s.j, xs), dtype)
+            - s.lp0[:, None]
+        )  # (C, K)
+
+        # -- stepping-out: consume the battery along the keep-stepping path --
+        above = f > s.level[:, None]
+        na = ~above
+        m_na = jnp.where(na.any(1), jnp.argmax(na, 1), K).astype(jnp.int32)
+        bud = jnp.where(left, s.budL, s.budR)
+        moves = jnp.minimum(jnp.minimum(m_na, bud), K)  # w-steps taken
+        done_dir = moves < K
+        consumed_step = jnp.minimum(moves, K - 1) + 1
+        movesf = moves.astype(dtype)
+        L_step = jnp.where(left, s.L - movesf * s.w, s.L)
+        R_step = jnp.where(left, s.R, s.R + movesf * s.w)
+        budL = jnp.where(left, s.budL - moves, s.budL)
+        budR = jnp.where(left, s.budR, s.budR - moves)
+        done_L = stepping & left & done_dir
+        done_R = stepping & ~left & done_dir
+        stepdir = jnp.where(done_L, 1, s.stepdir)
+        phase = jnp.where(done_R, 1, s.phase)
+
+        # -- shrinkage: first acceptor in the battery --
+        shrinking = s.phase == 1
+        acc = f >= s.level[:, None]
+        rem = self.max_shrink - s.n_shrink  # >= 1 in shrink phase
+        validk = jnp.arange(K, dtype=jnp.int32)[None, :] < rem[:, None]
+        accv = acc & validk
+        any_acc = accv.any(1)
+        idx = jnp.argmax(accv, 1).astype(jnp.int32)
+        consumed_sh = jnp.where(any_acc, idx + 1,
+                                jnp.minimum(jnp.int32(K), rem))
+        accept_move = shrinking & any_acc & active
+        exhausted = shrinking & ~any_acc & (
+            s.n_shrink + consumed_sh >= self.max_shrink
+        ) & active
+        last = jnp.clip(consumed_sh - 1, 0, K - 1)
+        L_sh = jnp.take_along_axis(Ls_sh, last[:, None], 1)[:, 0]
+        R_sh = jnp.take_along_axis(Rs_sh, last[:, None], 1)[:, 0]
+        n_shrink = jnp.where(shrinking, s.n_shrink + consumed_sh, s.n_shrink)
+        L = jnp.where(stepping, L_step, L_sh)
+        R = jnp.where(stepping, R_step, R_sh)
+
+        # -- commit --
+        x_star = jnp.take_along_axis(xs, idx[:, None], 1)[:, 0]
+        commit = accept_move | exhausted
+        b_star = jnp.where(accept_move, x_star, s.b0)
+        delta_star = jnp.where(accept_move, x_star - s.b0,
+                               jnp.zeros((), dtype))
+        eta = s.eta + xg * delta_star[:, None]
+        if self.eval_cache == "scalar":
+            dll_star = jnp.take_along_axis(dll, idx[:, None], 1)[:, 0]
+            ld0 = jnp.where(accept_move, s.ld0 + dll_star, s.ld0)
+        else:
+            # per-observation cache: recompute at the committed eta (the
+            # battery's (C, K, n) densities are reduction-fused, never
+            # materialised).  spec_k is built for the scalar cache; this
+            # path stays exact but pays one extra transcendental stream.
+            ld0 = jnp.where(
+                accept_move[:, None],
+                self.family.log_density_eta(eta, self.y, self.extra),
+                s.ld0,
+            )
+        beta = s.beta.at[rows, s.j].set(b_star)
+
+        logw = s.logw
+        if adapt:
+            move = jnp.abs(b_star - s.b0)
+            target = jnp.log(self.adapt_c * move + 1e-6)
+            lw_j = jnp.take_along_axis(s.logw, s.j[:, None], axis=1)[:, 0]
+            new_lw = (1.0 - self._adapt_rate) * lw_j + self._adapt_rate * target
+            jw = jnp.where(accept_move, s.j, self.d)
+            logw = s.logw.at[rows, jw].set(new_lw, mode="drop")
+
+        j_next = jnp.where(commit, s.j + 1, s.j)
+        sweep_done = commit & (j_next >= self.d)
+        slot = jnp.where(sweep_done, sweep_count, n_sweeps)
+        draws = draws.at[rows, slot].set(beta, mode="drop")
+        sweep_count = jnp.where(sweep_done, sweep_count + 1, sweep_count)
+        j_next = jnp.where(sweep_done, 0, j_next)
+
+        reg = self._begin_coord(k_begin, beta, logw, j_next, shrink_only)
+
+        def pick(name, old):
+            return jnp.where(commit, reg[name], old)
+
+        consumed = jnp.where(stepping, consumed_step, consumed_sh)
+        new_state = FreeRunState(
+            beta=beta, eta=eta, ld0=ld0, key=key, logw=logw,
+            j=j_next,
+            phase=pick("phase", phase),
+            stepdir=pick("stepdir", stepdir),
+            level=pick("level", s.level),
+            L=pick("L", L), R=pick("R", R),
+            budL=pick("budL", budL), budR=pick("budR", budR),
+            b0=pick("b0", s.b0), lp0=pick("lp0", s.lp0),
+            w=pick("w", s.w),
+            xprop=pick("xprop", s.xprop),  # unused in spec mode
+            n_shrink=pick("n_shrink", n_shrink),
+            nev=s.nev + jnp.where(active, consumed, 0),
+        )
+        return new_state, sweep_count, draws
+
     # -- runs -------------------------------------------------------------
 
     def _run(self, state: FreeRunState, n_sweeps: int, adapt: bool,
@@ -433,6 +617,9 @@ class FreeRunCGGibbs:
 
         def body(carry):
             s, sweep_count, draws = carry
+            if self.spec_k > 1:
+                return self._pass_spec(s, sweep_count, draws, n_sweeps,
+                                       adapt, shrink_only)
             return self._pass(s, sweep_count, draws, n_sweeps, adapt, shrink_only)
 
         state, _, draws = lax.while_loop(

@@ -149,8 +149,15 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin):
     )
     state = eng.init(jax.random.key(0), n_chains)
     t0 = time.perf_counter()
-    state, _, _ = eng.warmup(state, burnin)
-    jax.block_until_ready(state.beta)
+    # chunked warmup dispatches: a single 4096-chain adaptive executable can
+    # exceed the remote runtime's RPC deadline (UNAVAILABLE device errors)
+    wu_chunk = 5 if n_chains >= 1024 else burnin
+    done_w = 0
+    while done_w < burnin:
+        step = min(wu_chunk, burnin - done_w)
+        state, _, _ = eng.warmup(state, step)
+        jax.block_until_ready(state.beta)
+        done_w += step
     warm_s = time.perf_counter() - t0
     # compile the thinned sampling executable (one outer block)
     state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin)
@@ -160,7 +167,8 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin):
     t0 = time.perf_counter()
     mom = None  # restart moments for the timed section
     dparts = []
-    chunk = max(1, min(8, 4096 // max(n_chains // 8, 1)))
+    # keep each dispatch under ~30 s assuming ~1k chain-sweeps/s worst case
+    chunk = max(1, min(8, 30_000 // (n_chains * thin)))
     done = 1
     state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin, moments=mom)
     dparts.append(dr)

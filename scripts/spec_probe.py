@@ -1,0 +1,64 @@
+"""Probe: freerun throughput vs speculative battery size spec_k on the
+north-star config (p=1000 logistic, C=256, warm, adapted widths).
+
+Reports sweeps/s, us/pass-equivalent, algorithmic evals/coord, and
+min-ESS/s over a short timed section for each K.
+
+Run: python scripts/spec_probe.py [K ...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+import mcmcglm_tpu as mg
+from mcmcglm_tpu.datagen import generate_glm_data
+from mcmcglm_tpu.diagnostics import ess
+from mcmcglm_tpu.freerun import FreeRunCGGibbs
+
+
+def main():
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 6, 8]
+    n, d, C = 10_000, 1000, 256
+    X, y, _ = generate_glm_data("binomial", n=n, d=d, seed=0)
+    for K in ks:
+        eng = FreeRunCGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+            tuning={"w": 0.5}, spec_k=K,
+        )
+        state = eng.init(jax.random.key(0), C)
+        for _ in range(2):  # chunked warmup
+            state, _, _ = eng.warmup(state, 15)
+            jax.block_until_ready(state.beta)
+        state, _, _ = eng.run(state, 10)  # compile sampling executable
+        jax.block_until_ready(state.beta)
+        nev0 = np.asarray(state.nev).copy()
+        sweeps, chunk = 60, 20
+        t0 = time.perf_counter()
+        parts = []
+        done = 0
+        while done < sweeps:
+            state, draws, nev = eng.run(state, chunk)
+            parts.append(draws)
+            done += chunk
+        jax.block_until_ready(parts)
+        dt = time.perf_counter() - t0
+        alld = np.concatenate([np.asarray(p) for p in parts], axis=1)
+        evals = float(np.mean(np.asarray(nev) - nev0))
+        min_ess = float(np.min(ess(alld)))
+        print(
+            f"K={K}: {sweeps/dt:7.3f} sweeps/s, "
+            f"evals/coord={evals/sweeps/d:.2f}, "
+            f"min-ESS/s={min_ess/dt:7.1f}, "
+            f"C*sweeps/s={C*sweeps/dt:9.1f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
