@@ -526,7 +526,9 @@ class FreeRunCGGibbs:
         # -- shrinkage: first acceptor in the battery --
         shrinking = s.phase == 1
         acc = f >= s.level[:, None]
-        rem = self.max_shrink - s.n_shrink  # >= 1 in shrink phase
+        # >= 1 for active shrink lanes; clamped because inactive lanes keep
+        # evaluating past their quota without ever committing
+        rem = jnp.maximum(self.max_shrink - s.n_shrink, 0)
         validk = jnp.arange(K, dtype=jnp.int32)[None, :] < rem[:, None]
         accv = acc & validk
         any_acc = accv.any(1)

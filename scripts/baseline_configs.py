@@ -151,7 +151,9 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin):
     t0 = time.perf_counter()
     # chunked warmup dispatches: a single 4096-chain adaptive executable can
     # exceed the remote runtime's RPC deadline (UNAVAILABLE device errors)
-    wu_chunk = 5 if n_chains >= 1024 else burnin
+    # at 4096 chains a warmup sweep is ~5k passes of ~1.5 ms each, so even
+    # a handful of sweeps per dispatch can blow the deadline — go 1 at a time
+    wu_chunk = 1 if n_chains >= 2048 else (5 if n_chains >= 1024 else burnin)
     done_w = 0
     while done_w < burnin:
         step = min(wu_chunk, burnin - done_w)
@@ -167,8 +169,8 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin):
     t0 = time.perf_counter()
     mom = None  # restart moments for the timed section
     dparts = []
-    # keep each dispatch under ~30 s assuming ~1k chain-sweeps/s worst case
-    chunk = max(1, min(8, 30_000 // (n_chains * thin)))
+    # keep each dispatch well under the RPC deadline
+    chunk = max(1, min(8, 8_192 // (n_chains * thin)))
     done = 1
     state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin, moments=mom)
     dparts.append(dr)
