@@ -27,6 +27,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import argparse
 import json
+import sys
 import time
 
 import jax
@@ -36,6 +37,12 @@ import mcmcglm_tpu as mg
 from mcmcglm_tpu.datagen import generate_glm_data
 from mcmcglm_tpu.freerun import FreeRunCGGibbs
 from mcmcglm_tpu.parallel.pooled import pooled_summary
+
+
+def _log(msg):
+    """Timestamped progress on stderr (dispatches over the remote TPU
+    tunnel can take minutes; this distinguishes slow from wedged)."""
+    print(time.strftime("%H:%M:%S"), msg, file=sys.stderr, flush=True)
 
 
 def _err_in_sd_units(draws, beta_true):
@@ -88,6 +95,7 @@ def run_config(name, family, n, d, prior, w, n_chains, burnin, timed,
         state, _, _ = eng.warmup(state, step)
         jax.block_until_ready(state.beta)
         done += step
+        _log(f"{name}: warmup {done}/{burnin}")
     compile_s = time.perf_counter() - t0
 
     # chunked dispatches: long executions can exceed remote-runtime deadlines
@@ -96,6 +104,7 @@ def run_config(name, family, n, d, prior, w, n_chains, burnin, timed,
         chunk = min(chunk, 5)
     state, b, _ = eng.run(state, chunk)  # compile the sampling executable
     jax.block_until_ready(b)
+    _log(f"{name}: sampling executable compiled")
     t0 = time.perf_counter()
     parts = []
     done = 0
@@ -160,10 +169,12 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin):
         state, _, _ = eng.warmup(state, step)
         jax.block_until_ready(state.beta)
         done_w += step
+        _log(f"pod: warmup {done_w}/{burnin}")
     warm_s = time.perf_counter() - t0
     # compile the thinned sampling executable (one outer block)
     state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin)
     jax.block_until_ready(dr)
+    _log("pod: thinned executable compiled")
     nev0 = np.asarray(state.nev).copy()
 
     t0 = time.perf_counter()
@@ -180,6 +191,7 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin):
                                             moments=mom)
         dparts.append(dr)
         done += step
+        _log(f"pod: timed outer {done}/{n_outer}")
     jax.block_until_ready(dparts)
     dt = time.perf_counter() - t0
     sweeps = done * thin
