@@ -405,6 +405,19 @@ class CGGibbs:
             self._run_cache[key_] = fn
         return fn(state)
 
+    def reset_adaptation(self):
+        """Return the engine to the un-adapted sampling mode.
+
+        ``warmup()`` flips the engine into adapted-width mode: thereafter
+        ``run()`` reads per-(chain, coordinate) log widths from the
+        kernel-state slot (and the jit cache keys on the mode).  States
+        created *before* the reset (whose kernel-state slot carries log
+        widths) must not be passed to ``run()`` after it — call ``init()``
+        for a fresh un-adapted state.  This makes the mode flip explicit
+        and reversible instead of a one-way instance trap.
+        """
+        self._w_adapted = False
+
     def _run_one_thinned(self, state: ChainState, moments, n_outer: int, thin: int):
         from .parallel.pooled import update_moments
 

@@ -46,9 +46,37 @@ def mcmcglm_across_tuningparams(
 
     ``parallelise=True`` folds the sweep into the chain axis of a single
     compiled run (see module docstring) rather than spawning processes
-    (reference: future multisession, R/slice_utilities.R:72-79).
+    (reference: future multisession, R/slice_utilities.R:72-79).  The
+    batched path runs the lockstep CGGibbs engine with the default
+    ``linear_predictor_calc="update"``; options it cannot honor
+    (``engine``, ``adapt_w``, ``weights``, ``thin``, ``progress``,
+    ``qslice_fun``, ``mesh``, ``sample_method``, ``linear_predictor_calc``,
+    ``engine_opts``, ``chunk_size``) trigger a fallback to the sequential
+    per-value path with a warning.
     """
     values = list(values)
+    if parallelise:
+        unsupported = {
+            "engine": "auto", "adapt_w": False, "weights": None,
+            "thin": 1, "progress": False, "qslice_fun": None, "mesh": None,
+            "sample_method": "slice_sampling",
+            "linear_predictor_calc": "update",
+            "engine_opts": None, "chunk_size": 0,
+        }
+        bad = sorted(
+            k for k, default in unsupported.items()
+            if k in mcmcglm_kwargs and mcmcglm_kwargs[k] != default
+        )
+        if bad:
+            import warnings
+
+            warnings.warn(
+                "parallelise=True (single-compile batched sweep) does not "
+                f"support {bad}; falling back to the sequential per-value "
+                "sweep.",
+                stacklevel=2,
+            )
+            parallelise = False
     if parallelise:
         fits = _batched_sweep(values, tuning_parameter_name, **mcmcglm_kwargs)
     else:
@@ -74,7 +102,15 @@ class SweepResult(list):
 
 def _batched_sweep(values, name, **kwargs):
     """Single-compile sweep: replicate chains per tuning value and fan the
-    tuning scalar across the chain axis via one batched engine run."""
+    tuning scalar across the chain axis via one batched engine run.
+
+    Randomness: one ``seed`` feeds the whole batched run, but the engine
+    splits it per chain slot, so every (tuning value, chain) pair gets an
+    independent PRNG stream — seed sharing across values does not correlate
+    their draws.  Unsupported ``mcmcglm`` options are screened by the caller
+    (see :func:`mcmcglm_across_tuningparams`), which falls back to the
+    sequential path rather than silently dropping them.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -116,6 +152,7 @@ def _batched_sweep(values, name, **kwargs):
         design.X, design.y, fam, prior, extra=extra,
         config=EngineConfig(slice_kernel=kernel), tuning=fixed_tuning,
         chain_tuning_names=(name,),
+        offset=design.offset,
     )
     betas, n_evals, _ = eng.sample(
         jax.random.key(seed),

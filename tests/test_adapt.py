@@ -73,3 +73,34 @@ class TestWarmupAdaptation:
         st = eng.init(jax.random.key(0), 4)
         st, b, _ = eng.warmup(st, 10)  # no-op fallback
         assert np.isfinite(np.asarray(b)).all()
+
+    def test_reset_adaptation(self, problem):
+        """warmup() flips the engine into adapted mode; reset_adaptation()
+        makes that reversible (round-1 review: one-way instance trap)."""
+        X, y = problem
+        eng = mg.CGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0, 1), 20),
+            tuning={"w": 0.5},
+        )
+        st = eng.init(jax.random.key(0), 4)
+        st, _, _ = eng.warmup(st, 20)
+        assert eng._w_adapted
+        st, b_ad, _ = eng.run(st, 10)
+        assert np.isfinite(np.asarray(b_ad)).all()
+
+        eng.reset_adaptation()
+        assert not eng._w_adapted
+        # fresh un-adapted state samples the static-tuning path again and
+        # must produce draws distributed like a never-adapted engine's
+        st2 = eng.init(jax.random.key(1), 4)
+        st2, b, nev = eng.run(st2, 10)
+        assert np.isfinite(np.asarray(b)).all()
+
+        eng_fresh = mg.CGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0, 1), 20),
+            tuning={"w": 0.5},
+        )
+        stf = eng_fresh.init(jax.random.key(1), 4)
+        stf, bf, nevf = eng_fresh.run(stf, 10)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(bf))
+        np.testing.assert_array_equal(np.asarray(nev), np.asarray(nevf))

@@ -60,6 +60,33 @@ class TestSweep:
                 fs.coef().values, fp.coef().values, atol=0.15
             )
 
+    def test_batched_sweep_unsupported_opts_fall_back(self, dat_norm):
+        """Options the single-compile batched path cannot honor must not be
+        silently dropped: the sweep warns and runs sequentially instead."""
+        with pytest.warns(UserWarning, match="adapt_w.*falling back"):
+            fits = mg.mcmcglm_across_tuningparams(
+                [0.5, 2.0], "w", parallelise=True,
+                formula="Y ~ .", family="gaussian", data=dat_norm,
+                n_samples=40, burnin=10, adapt_w=True,
+            )
+        assert len(fits) == 2
+        for f in fits:
+            np.testing.assert_allclose(f.coef().values, [1.0, 1.5, 2.0], atol=0.7)
+
+    def test_batched_sweep_threads_offset(self, dat_norm):
+        """offset() formula terms reach the batched engine (not dropped)."""
+        dat = dat_norm.copy()
+        dat["off"] = 3.0  # constant known shift of eta
+        par = mg.mcmcglm_across_tuningparams(
+            [0.5, 1.5], "w", parallelise=True,
+            formula="Y ~ X1 + X2 + offset(off)", family="gaussian", data=dat,
+            n_samples=200, burnin=50, n_chains=2, seed=0,
+        )
+        # with eta = offset + Xb, the intercept posterior centers near
+        # 1.0 - 3.0 = -2.0; if the offset were dropped it would sit near 1.0
+        icpt = par[0].coef().values[0]
+        assert icpt < -1.0
+
     def test_sweep_other_param(self, dat_norm):
         fits = mg.mcmcglm_across_tuningparams(
             [2.0, 50.0],
