@@ -129,6 +129,7 @@ class FreeRunCGGibbs:
         eval_cache: str = "auto",
         offset=None,
         spec_k: int = 1,
+        battery_impl: str = "auto",
     ):
         self.family: Family = check_family(family)
         self.prior = prior
@@ -158,6 +159,7 @@ class FreeRunCGGibbs:
                 "required by 'stepping_out'"
             )
         self.w0 = float(tuning["w"])
+        user_reduce_fn = reduce_fn is not None
         if obs_weights is not None:
             ow = jnp.asarray(obs_weights, dtype).reshape(-1)
             if ow.shape[0] != self.n:
@@ -227,6 +229,145 @@ class FreeRunCGGibbs:
         self._coord_lp_k = jax.vmap(self._coord_lp, in_axes=(None, None, 1),
                                     out_axes=1)
         self._run_cache: dict = {}
+
+        # -- battery implementation for the K-speculative eval ----------------
+        # "xla": the (C, K, n) broadcast+reduce.  XLA re-streams eta and the
+        #     gathered X^T rows once PER PROPOSAL, so pass cost grows ~linearly
+        #     in K and speculation only wins ~1.17x (scripts/battery_probe.py).
+        # "pallas": a Pallas grid kernel that reads eta/xg from HBM ONCE and
+        #     evaluates all K proposals in-register against a (C, K) VMEM
+        #     accumulator — the pass is HBM-bound, so K rides nearly free.
+        #     Requires the scalar eval cache, a plain/weighted-sum reduction
+        #     and scalar extra args; the observation axis is zero-padded to a
+        #     lane-aligned length, with the (padded) weight vector doubling as
+        #     the reduction mask.
+        # "auto": "pallas" when spec_k > 1 and the constraints hold on an
+        #     accelerator backend, else "xla".
+        if battery_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"battery_impl must be 'auto', 'xla' or 'pallas', got {battery_impl!r}"
+            )
+        extras_scalar = all(
+            jnp.ndim(v) == 0 for v in self.extra.values()
+        )
+        pallas_ok = (
+            self.spec_k > 1
+            and self.eval_cache == "scalar"
+            and extras_scalar
+            and not user_reduce_fn  # default sum / obs_weights sum only
+            and dtype == jnp.float32
+        )
+        if battery_impl == "pallas" and not pallas_ok:
+            raise ValueError(
+                "battery_impl='pallas' requires spec_k > 1, eval_cache='scalar', "
+                "scalar extra args, no custom reduce_fn and float32"
+            )
+        if battery_impl == "auto":
+            battery_impl = (
+                "pallas"
+                if pallas_ok and jax.default_backend() != "cpu"
+                else "xla"
+            )
+        self.battery_impl = battery_impl
+        self._battery_cache: dict = {}
+        if battery_impl == "pallas":
+            # pad the observation axis once so every pass runs lane-aligned;
+            # the padded weight/mask slots are zero, so padded observations
+            # never contribute to any reduction (their log densities are
+            # finite garbage — ld(eta=0, y=0) — but masked)
+            bn = 2048 if self.n >= 2048 else 256
+            self._battery_bn = bn
+            n_pad = -(-self.n // bn) * bn
+            pad = n_pad - self.n
+            w_vec = ow if obs_weights is not None else jnp.ones((self.n,), dtype)
+            self._mask = jnp.pad(w_vec, (0, pad))
+            self.Xt = jnp.pad(self.Xt, ((0, 0), (0, pad)))
+            self.y = jnp.pad(self.y, (0, pad))
+            if self.offset is not None:
+                self.offset = jnp.pad(self.offset, (0, pad))
+            mask = self._mask
+            self.reduce_fn = lambda t: jnp.sum(t * mask, axis=-1)
+            # (1, n_pad) operand views built OUTSIDE any trace: _battery_fn
+            # may first run while tracing a jitted pass, and reshaping there
+            # would capture (and leak) trace-local tracers in its cache
+            self._y2 = self.y.reshape(1, n_pad)
+            self._m2 = self._mask.reshape(1, n_pad)
+
+    # -- Pallas K-proposal battery evaluator --------------------------------
+
+    def _battery_fn(self, C: int):
+        """Build (and cache) the one-read battery kernel for C chains.
+
+        Computes lsum[c, k] = sum_i mask_i * ld(eta[c,i] + xg[c,i] *
+        deltas[c,k]) over the padded observation axis with ONE HBM read of
+        eta and xg: grid (C/BC, n_pad/BN), the K proposals unrolled
+        in-register per (BC, BN) tile, (C, K) accumulator resident in VMEM
+        across the n-grid.  The XLA formulation of the same battery streams
+        eta/xg once per proposal (scripts/battery_probe.py) — on an
+        HBM-bound pass that forfeits the entire speculation win.
+        """
+        fn = self._battery_cache.get(C)
+        if fn is not None:
+            return fn
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        K = self.spec_k
+        n_pad = int(self.Xt.shape[1])
+        BN = self._battery_bn
+        BC = next((b for b in (128, 64, 32, 16, 8) if C % b == 0), None)
+        if BC is None:
+            return None  # odd chain counts: caller falls back to XLA
+        fam = self.family
+        extra = {k: float(v) for k, v in self.extra.items()}
+        y2 = self._y2
+        m2 = self._m2
+
+        def kernel(eta_ref, xg_ref, deltas_ref, y_ref, m_ref, out_ref):
+            nb = pl.program_id(1)
+
+            @pl.when(nb == 0)
+            def _init():
+                out_ref[...] = jnp.zeros_like(out_ref)
+
+            eta = eta_ref[...]  # (BC, BN)
+            xg = xg_ref[...]
+            deltas = deltas_ref[...]  # (BC, K)
+            yv = y_ref[...]  # (1, BN)
+            mv = m_ref[...]
+            cols = []
+            for k in range(K):
+                e = eta + xg * deltas[:, k][:, None]
+                ld = fam.log_density_eta(e, yv, extra)
+                cols.append(jnp.sum(ld * mv, axis=1, keepdims=True))
+            out_ref[...] += jnp.concatenate(cols, axis=1)
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(C // BC, n_pad // BN),
+            in_specs=[
+                pl.BlockSpec((BC, BN), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BC, BN), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BC, K), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BN), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BN), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BC, K), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, K), jnp.float32),
+            interpret=jax.default_backend() == "cpu",
+        )
+
+        def fn(eta, xg, deltas):
+            return call(eta, xg, deltas, y2, m2)
+
+        self._battery_cache[C] = fn
+        return fn
 
     # -- coordinate initialisation (batched) ---------------------------------
 
@@ -494,12 +635,19 @@ class FreeRunCGGibbs:
         # -- one fused K-proposal evaluation --
         xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
         deltas = xs - s.b0[:, None]  # (C, K)
-        e = s.eta[:, None, :] + xg[:, None, :] * deltas[:, :, None]
-        ld_e = self.family.log_density_eta(e, self.y, self.extra)  # (C, K, n)
-        if self.eval_cache == "scalar":
-            dll = self.reduce_fn(ld_e) - s.ld0[:, None]
+        battery = (
+            self._battery_fn(C) if self.battery_impl == "pallas" else None
+        )
+        if battery is not None:
+            # one-read Pallas battery: (C, K) masked log-lik sums directly
+            dll = battery(s.eta, xg, deltas) - s.ld0[:, None]
         else:
-            dll = self.reduce_fn(ld_e - s.ld0[:, None, :])
+            e = s.eta[:, None, :] + xg[:, None, :] * deltas[:, :, None]
+            ld_e = self.family.log_density_eta(e, self.y, self.extra)  # (C, K, n)
+            if self.eval_cache == "scalar":
+                dll = self.reduce_fn(ld_e) - s.ld0[:, None]
+            else:
+                dll = self.reduce_fn(ld_e - s.ld0[:, None, :])
         f = dll + (
             jnp.asarray(self._coord_lp_k(s.beta, s.j, xs), dtype)
             - s.lp0[:, None]

@@ -115,3 +115,88 @@ def test_spec_k_validation():
             X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), 3),
             extra={"sd": 1.0}, tuning={"w": 0.5}, spec_k=0,
         )
+
+
+class TestPallasBattery:
+    """battery_impl='pallas': the one-read Pallas battery eval (interpret
+    mode on CPU) must agree with the XLA broadcast formulation numerically
+    and produce the same posterior."""
+
+    def test_battery_values_match_xla(self):
+        X, y, _ = generate_glm_data("binomial", n=500, d=8, seed=1)
+        eng = FreeRunCGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0, 1), 8),
+            tuning={"w": 0.5}, spec_k=4, eval_cache="scalar",
+            battery_impl="pallas",
+        )
+        assert eng.battery_impl == "pallas"
+        C = 16
+        rng = np.random.default_rng(0)
+        n_pad = int(eng.Xt.shape[1])
+        assert n_pad % 256 == 0 and n_pad >= 500
+        import jax.numpy as jnp
+
+        eta = jnp.asarray(
+            np.where(np.arange(n_pad) < 500,
+                     rng.normal(size=(C, n_pad)), 0.0), jnp.float32)
+        j = jnp.asarray(rng.integers(0, 8, C), np.int32)
+        xg = jnp.take(eng.Xt, j, axis=0)
+        deltas = jnp.asarray(0.2 * rng.normal(size=(C, 4)), jnp.float32)
+
+        lsum_pl = np.asarray(eng._battery_fn(C)(eta, xg, deltas))
+        e = eta[:, None, :] + xg[:, None, :] * deltas[:, :, None]
+        ld = eng.family.log_density_eta(e, eng.y, eng.extra)
+        lsum_ref = np.asarray(eng.reduce_fn(ld))
+        np.testing.assert_allclose(lsum_pl, lsum_ref, rtol=2e-5, atol=2e-3)
+
+    def test_pallas_posterior_matches_oracle(self):
+        X, y, mu, sd = _gaussian_problem(n=400, d=4, seed=0)
+        fr = FreeRunCGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0.0, 1.0), 4),
+            extra={"sd": 1.0}, tuning={"w": 0.7}, spec_k=4,
+            eval_cache="scalar", battery_impl="pallas",
+        )
+        st = fr.init(jax.random.key(1), 16)
+        st, _, _ = fr.warmup(st, 100)
+        st, draws, _ = fr.run(st, 400)
+        post = np.asarray(draws)[:, 100:, :].reshape(-1, 4)
+        assert np.abs(post.mean(0) - mu).max() < 0.02
+        assert np.abs(post.std(0) / sd - 1.0).max() < 0.08
+
+    def test_pallas_weighted_obs(self):
+        """obs_weights fold into the battery's reduction mask."""
+        X, y, _, _ = _gaussian_problem(n=300, d=3, seed=2)
+        w = np.ones(300); w[:150] = 2.0
+        fr_p = FreeRunCGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0.0, 1.0), 3),
+            extra={"sd": 1.0}, tuning={"w": 0.7}, spec_k=3,
+            eval_cache="scalar", battery_impl="pallas", obs_weights=w,
+        )
+        fr_x = FreeRunCGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0.0, 1.0), 3),
+            extra={"sd": 1.0}, tuning={"w": 0.7}, spec_k=3,
+            eval_cache="scalar", battery_impl="xla", obs_weights=w,
+        )
+        posts = []
+        for fr in (fr_p, fr_x):
+            st = fr.init(jax.random.key(0), 8)
+            st, _, _ = fr.warmup(st, 60)
+            st, draws, _ = fr.run(st, 250)
+            posts.append(np.asarray(draws)[:, 60:, :].reshape(-1, 3))
+        assert np.abs(posts[0].mean(0) - posts[1].mean(0)).max() < 0.05
+        assert np.abs(posts[0].std(0) / posts[1].std(0) - 1.0).max() < 0.15
+
+    def test_pallas_validation(self):
+        X, y, _, _ = _gaussian_problem(n=100, d=3)
+        with pytest.raises(ValueError, match="battery_impl"):
+            FreeRunCGGibbs(
+                X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), 3),
+                extra={"sd": 1.0}, tuning={"w": 0.5}, spec_k=1,
+                battery_impl="pallas",
+            )
+        with pytest.raises(ValueError, match="battery_impl"):
+            FreeRunCGGibbs(
+                X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), 3),
+                extra={"sd": 1.0}, tuning={"w": 0.5}, spec_k=4,
+                battery_impl="nope",
+            )
