@@ -100,12 +100,17 @@ def main():
     # the freerun engine (freerun.py): lockstep-free automaton scheduling,
     # warmup-adapted widths, shrink-only sampling kernel — measured 391
     # min-ESS/s vs ~150 for the scan/while XLA engine on v5e (C=256)
+    # spec_k=4: K-speculative proposal batteries through the one-read
+    # Pallas evaluator (battery_impl auto-resolves to "pallas" on TPU) —
+    # measured 1.41x the spec_k=1 ESS/s within-session (scripts/spec_probe.py,
+    # 2026-08-21: 426.9 vs 303.7 min-ESS/s; K=8 regresses to 1.28x)
     eng = FreeRunCGGibbs(
         X,
         y,
         "binomial",
         mg.IIDPrior(mg.Normal(0.0, 1.0), d),
         tuning={"w": 0.5},
+        spec_k=4 if on_accel else 1,
     )
     state = eng.init(jax.random.key(0), n_chains)
 

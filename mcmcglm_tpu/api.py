@@ -108,7 +108,9 @@ def mcmcglm(
     - ``engine_opts`` — extra constructor options for the freerun engines
       (e.g. ``{"shrink_only": False}`` to sample with the full stepping-out
       schedule for heavy-tailed conditionals, ``{"adapt_c": 60.0}``,
-      ``{"eval_cache": "per_obs"}``).  Ignored by other engines.
+      ``{"eval_cache": "per_obs"}``, ``{"spec_k": 4}`` for K-speculative
+      proposal batching with the one-read Pallas battery on TPU).
+      Ignored by other engines.
     - ``mesh`` — a ``jax.sharding.Mesh`` (see ``parallel.make_mesh``) to
       run multi-chip: the freerun engine shards chains (one independent
       automaton per device, zero collectives; chain-axis-only meshes);

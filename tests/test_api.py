@@ -204,6 +204,18 @@ class TestFreerunAPIWiring:
         # shape: one column per sampling sweep
         assert fit.n_evals.shape == (4, 200)
 
+    def test_engine_opts_spec_k(self, dat_norm):
+        """engine_opts threads spec_k (K-speculative batching) through the
+        default freerun path; posterior unchanged in law."""
+        fit = mg.mcmcglm(
+            formula="Y ~ .", data=dat_norm, family="gaussian",
+            n_samples=300, burnin=100, n_chains=4, seed=7, w=0.5,
+            engine_opts={"spec_k": 4},
+        )
+        np.testing.assert_allclose(
+            fit.coef().values, [1.0, 1.5, 2.0], atol=0.2
+        )
+
     def test_thin_on_freerun_engine(self, dat_norm):
         fit = mg.mcmcglm(
             formula="Y ~ .", data=dat_norm, family="gaussian",
