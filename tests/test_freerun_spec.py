@@ -200,3 +200,45 @@ class TestPallasBattery:
                 extra={"sd": 1.0}, tuning={"w": 0.5}, spec_k=4,
                 battery_impl="nope",
             )
+
+
+class TestPallas2FusedCommit:
+    """battery_impl='pallas2': the 3-stream fused battery + in-kernel eta
+    commit (gather by DMA, decision replayed in-kernel).  The outside
+    automaton recomputes the same decision from the returned sums, so the
+    sampler must remain exact."""
+
+    def test_pallas2_posterior_matches_oracle(self):
+        X, y, mu, sd = _gaussian_problem(n=400, d=4, seed=0)
+        fr = FreeRunCGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0.0, 1.0), 4),
+            extra={"sd": 1.0}, tuning={"w": 0.7}, spec_k=4,
+            eval_cache="scalar", battery_impl="pallas2",
+        )
+        assert fr.battery_impl == "pallas2"
+        st = fr.init(jax.random.key(1), 16)
+        st, _, _ = fr.warmup(st, 100)
+        st, draws, _ = fr.run(st, 400)
+        post = np.asarray(draws)[:, 100:, :].reshape(-1, 4)
+        assert np.abs(post.mean(0) - mu).max() < 0.02
+        assert np.abs(post.std(0) / sd - 1.0).max() < 0.08
+
+    def test_pallas2_matches_xla_battery_in_law(self):
+        """Same eval counts and agreeing posteriors vs the XLA battery."""
+        X, y, _ = generate_glm_data("binomial", n=500, d=6, seed=3)
+        pr = mg.IIDPrior(mg.Normal(0.0, 1.0), 6)
+        posts, rates = [], []
+        for impl in ("xla", "pallas2"):
+            fr = FreeRunCGGibbs(
+                X, y, "binomial", pr, tuning={"w": 0.5}, spec_k=4,
+                eval_cache="scalar", battery_impl=impl,
+            )
+            st = fr.init(jax.random.key(0), 16)
+            st, _, _ = fr.warmup(st, 60)
+            nev0 = np.asarray(st.nev).copy()
+            st, draws, nev = fr.run(st, 250)
+            posts.append(np.asarray(draws)[:, 60:, :].reshape(-1, 6))
+            rates.append((np.asarray(nev) - nev0).mean() / (250 * 6))
+        assert abs(rates[0] - rates[1]) / rates[0] < 0.06
+        assert np.abs(posts[0].mean(0) - posts[1].mean(0)).max() < 0.06
+        assert np.abs(posts[0].std(0) / posts[1].std(0) - 1.0).max() < 0.15
