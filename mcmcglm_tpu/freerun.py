@@ -461,9 +461,11 @@ class FreeRunCGGibbs:
             f = (lsum - ld0) + fprior_ref[...]
             kio = jax.lax.broadcasted_iota(jnp.float32, (BC, K), 1)
             accv = (f >= level) & (kio < rem)
-            any_acc = jnp.any(accv, axis=1)
-            first = jnp.argmax(accv, axis=1)  # (BC,)
-            hit = kio == first.astype(jnp.float32)[:, None]
+            # first acceptor as a float32 min-reduce (Mosaic lowers
+            # argmax/argmin only for f32 operands, not bool)
+            firstf = jnp.min(jnp.where(accv, kio, jnp.float32(K)), axis=1)
+            any_acc = firstf < jnp.float32(K)
+            hit = kio == firstf[:, None]
             d_first = jnp.sum(jnp.where(hit, deltas, 0.0), axis=1)
             delta_star = jnp.where((gate > 0.0) & any_acc, d_first, 0.0)
 
