@@ -101,23 +101,34 @@ def main():
     # warmup-adapted widths, shrink-only sampling kernel — measured 391
     # min-ESS/s vs ~150 for the scan/while XLA engine on v5e (C=256)
     # spec_k=4: K-speculative proposal batteries through the one-read
-    # Pallas evaluator (battery_impl auto-resolves to "pallas" on TPU) —
-    # measured 1.41x the spec_k=1 ESS/s within-session (scripts/spec_probe.py,
-    # 2026-08-21: 426.9 vs 303.7 min-ESS/s; K=8 regresses to 1.28x)
-    eng = FreeRunCGGibbs(
-        X,
-        y,
-        "binomial",
-        mg.IIDPrior(mg.Normal(0.0, 1.0), d),
-        tuning={"w": 0.5},
-        spec_k=4 if on_accel else 1,
-    )
-    state = eng.init(jax.random.key(0), n_chains)
-
+    # Pallas evaluator — measured 1.41x the spec_k=1 ESS/s within-session
+    # (scripts/spec_probe.py, 2026-08-21: 426.9 vs 303.7 min-ESS/s with
+    # battery_impl="pallas"; K=8 regresses to 1.28x).  The impl chain
+    # degrades gracefully: the remote-tunnel compile service in this
+    # environment intermittently wedges or 500s on Mosaic kernels, and the
+    # bench must still produce a number.
     t0 = time.perf_counter()
-    # adaptive warmup (tunes per-(chain, coordinate) slice widths)
-    state, _, _ = eng.warmup(state, burnin)
-    jax.block_until_ready(state.beta)
+    for impls in (["auto"], ["pallas"], ["xla"], None):
+        if impls is None:
+            raise RuntimeError("all battery implementations failed")
+        try:
+            eng = FreeRunCGGibbs(
+                X,
+                y,
+                "binomial",
+                mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+                tuning={"w": 0.5},
+                spec_k=4 if on_accel else 1,
+                battery_impl=impls[0] if on_accel else "auto",
+            )
+            state = eng.init(jax.random.key(0), n_chains)
+            # adaptive warmup (tunes per-(chain, coordinate) slice widths)
+            state, _, _ = eng.warmup(state, burnin)
+            jax.block_until_ready(state.beta)
+            break
+        except Exception as exc:  # compile/lowering failure: step down
+            print(f"# battery_impl={impls[0]} failed ({type(exc).__name__}); "
+                  "falling back", file=sys.stderr, flush=True)
     compile_s = time.perf_counter() - t0
 
     # chunk dispatches: long single executions can exceed remote-runtime

@@ -244,15 +244,16 @@ class FreeRunCGGibbs:
         #     short of the stream-count promise because the pass still
         #     materialises the X^T gather and re-reads eta/xg for the commit
         #     (~6 (C, n) streams total).
-        # "pallas2": the 3-stream pass.  One kernel per pass: gathers each
-        #     lane's X^T row by per-row DMA from HBM (no materialised gather),
-        #     holds eta and the rows in VMEM, evaluates the K-battery,
-        #     REPLAYS the acceptance decision in-kernel and writes the
-        #     committed eta — HBM traffic is read eta + read X^T rows +
-        #     write eta, the same as the non-speculative pass, so the full
-        #     speculation win survives.  The automaton outside recomputes the
+        # "pallas2": "pallas" plus the eta COMMIT fused into the kernel —
+        #     the acceptance decision is replayed in-kernel and the
+        #     committed eta written out, removing the XLA commit's second
+        #     read of eta/xg and its separate eta write (~6 -> ~4 (C, n)
+        #     streams per pass).  The automaton outside recomputes the
         #     identical decision from the returned sums (bitwise the same
-        #     inputs), keeping all bookkeeping in XLA.
+        #     inputs), keeping all bookkeeping in XLA.  (A 3-stream variant
+        #     that also gathers X^T rows in-kernel by DMA is blocked by
+        #     Mosaic's tiling rule — single-row slices of an (8, 128)-tiled
+        #     HBM array are rejected — see _battery2_fn.)
         # "auto": "pallas2" (falling back to "pallas", then "xla", when the
         #     chain count defeats the block layout) when spec_k > 1 and the
         #     constraints hold on an accelerator backend, else "xla".
@@ -385,19 +386,21 @@ class FreeRunCGGibbs:
         return fn
 
     def _battery2_fn(self, C: int):
-        """Build (and cache) the 3-stream fused battery+commit kernel.
+        """Build (and cache) the fused battery + eta-commit kernel.
 
-        Per chain-block the kernel (a) DMAs each lane's X^T row from HBM
-        into a VMEM scratch (replacing the materialised XLA gather), (b)
-        evaluates the K-proposal battery against the VMEM-resident eta
-        block, (c) replays the first-acceptor decision in-kernel and (d)
-        writes the committed eta.  HBM traffic per pass: read eta + read
-        the C gathered X^T rows + write eta — identical to the
-        non-speculative pass, versus ~6 (C, n)-sized streams for the
-        "pallas" variant (gather materialise + kernel reads + XLA commit
-        re-reads).  Outputs (lsum (C, K), eta_new (C, n_pad)); the
-        caller's automaton recomputes the same decision from lsum on
-        bitwise-identical inputs, so all bookkeeping stays in XLA.
+        One kernel evaluates the K-proposal battery against the
+        VMEM-resident eta/xg blocks, REPLAYS the first-acceptor decision
+        in-kernel, and writes the committed eta.  Relative to the
+        "pallas" variant this removes the XLA commit's second read of
+        eta/xg and its separate eta write (~6 -> ~4 (C, n) streams per
+        pass; the remaining overhead vs the non-speculative pass is the
+        materialised X^T gather, which Mosaic cannot avoid: single-row
+        DMA from an (8, 128)-tiled HBM array is rejected — "slice shape
+        along dimension 0 must be aligned to tiling (8)" — so the gather
+        stays in XLA where it is a native row gather).  Outputs
+        (lsum (C, K), eta_new (C, n_pad)); the caller's automaton
+        recomputes the same decision from lsum on bitwise-identical
+        inputs, so all bookkeeping stays in XLA.
 
         Per-chain decision operands are packed into scal (C, 4):
         [slice level, cached scalar log-lik ld0, commit gate (1.0 when the
@@ -420,29 +423,15 @@ class FreeRunCGGibbs:
         y2 = self._y2
         m2 = self._m2
 
-        def kernel(j_ref, xt_ref, eta_ref, deltas_ref, fprior_ref, scal_ref,
-                   y_ref, m_ref, lsum_ref, eta_new_ref, xg, sems):
-            i = pl.program_id(0)
-
-            # (a) gather this block's X^T rows by DMA — issue all, then wait
-            copies = []
-            for r in range(BC):
-                row = j_ref[i * BC + r]
-                cp = pltpu.make_async_copy(
-                    xt_ref.at[row], xg.at[r], sems.at[r]
-                )
-                cp.start()
-                copies.append(cp)
-            for cp in copies:
-                cp.wait()
-
+        def kernel(eta_ref, xg_ref, deltas_ref, fprior_ref, scal_ref,
+                   y_ref, m_ref, lsum_ref, eta_new_ref):
             eta = eta_ref[...]  # (BC, n_pad), VMEM
-            xgv = xg[...]
+            xgv = xg_ref[...]
             deltas = deltas_ref[...]  # (BC, K)
             yv = y_ref[...]  # (1, n_pad)
             mv = m_ref[...]
 
-            # (b) the K-battery: masked log-lik sums, one read of eta/xg
+            # the K-battery: masked log-lik sums, one read of eta/xg
             cols = []
             for k in range(K):
                 e = eta + xgv * deltas[:, k][:, None]
@@ -451,7 +440,7 @@ class FreeRunCGGibbs:
             lsum = jnp.concatenate(cols, axis=1)  # (BC, K)
             lsum_ref[...] = lsum
 
-            # (c) replay the first-acceptor decision (same float ops as the
+            # replay the first-acceptor decision (same float ops as the
             # caller: f = (lsum - ld0) + fprior, accept iff f >= level with
             # k inside the remaining shrink budget, gated on shrink+active)
             level = scal_ref[:, 0][:, None]
@@ -459,51 +448,46 @@ class FreeRunCGGibbs:
             gate = scal_ref[:, 2]
             rem = scal_ref[:, 3][:, None]
             f = (lsum - ld0) + fprior_ref[...]
-            kio = jax.lax.broadcasted_iota(jnp.float32, (BC, K), 1)
+            # tpu.iota is integer-only; cast for the f32 min-reduce below
+            # (Mosaic lowers argmax/argmin only for f32 operands, not bool)
+            kio = jax.lax.broadcasted_iota(jnp.int32, (BC, K), 1).astype(
+                jnp.float32
+            )
             accv = (f >= level) & (kio < rem)
-            # first acceptor as a float32 min-reduce (Mosaic lowers
-            # argmax/argmin only for f32 operands, not bool)
             firstf = jnp.min(jnp.where(accv, kio, jnp.float32(K)), axis=1)
             any_acc = firstf < jnp.float32(K)
             hit = kio == firstf[:, None]
             d_first = jnp.sum(jnp.where(hit, deltas, 0.0), axis=1)
             delta_star = jnp.where((gate > 0.0) & any_acc, d_first, 0.0)
 
-            # (d) commit
+            # commit
             eta_new_ref[...] = eta + xgv * delta_star[:, None]
 
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+        call = pl.pallas_call(
+            kernel,
             grid=(C // BC,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # Xt, stays in HBM
-                pl.BlockSpec((BC, n_pad), lambda i, j_ref: (i, 0),
+                pl.BlockSpec((BC, n_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BC, K), lambda i, j_ref: (i, 0),
+                pl.BlockSpec((BC, n_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BC, K), lambda i, j_ref: (i, 0),
+                pl.BlockSpec((BC, K), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BC, 4), lambda i, j_ref: (i, 0),
+                pl.BlockSpec((BC, K), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_pad), lambda i, j_ref: (0, 0),
+                pl.BlockSpec((BC, 4), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_pad), lambda i, j_ref: (0, 0),
+                pl.BlockSpec((1, n_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((BC, K), lambda i, j_ref: (i, 0),
+                pl.BlockSpec((BC, K), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BC, n_pad), lambda i, j_ref: (i, 0),
+                pl.BlockSpec((BC, n_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((BC, n_pad), jnp.float32),
-                pltpu.SemaphoreType.DMA((BC,)),
-            ],
-        )
-        call = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((C, K), jnp.float32),
                 jax.ShapeDtypeStruct((C, n_pad), jnp.float32),
@@ -511,8 +495,8 @@ class FreeRunCGGibbs:
             interpret=jax.default_backend() == "cpu",
         )
 
-        def fn(j, eta, deltas, fprior, scal):
-            return call(j, self.Xt, eta, deltas, fprior, scal, y2, m2)
+        def fn(eta, xg, deltas, fprior, scal):
+            return call(eta, xg, deltas, fprior, scal, y2, m2)
 
         self._battery_cache[key_] = fn
         return fn
@@ -799,12 +783,13 @@ class FreeRunCGGibbs:
             self._battery_fn(C) if self.battery_impl == "pallas" else None
         )
         if battery2 is not None:
-            # 3-stream fused pass: battery eval + in-kernel eta commit; the
+            # fused pass: battery eval + in-kernel eta commit; the
             # decision below is replayed on the identical lsum values
+            xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
             scal = jnp.stack(
                 [s.level, s.ld0, (shrinking & active).astype(dtype),
                  rem.astype(dtype)], axis=1)
-            lsum, eta_committed = battery2(s.j, s.eta, deltas, fprior, scal)
+            lsum, eta_committed = battery2(s.eta, xg, deltas, fprior, scal)
             dll = lsum - s.ld0[:, None]
         elif battery is not None:
             # one-read Pallas battery: (C, K) masked log-lik sums directly
