@@ -274,3 +274,24 @@ class TestShardedFreeRunThinned:
         )
         assert np.abs(np.asarray(summ["mean"]) - mu).max() < 0.05
         assert float(np.max(np.asarray(summ["rhat"]))) < 1.1
+
+    def test_sharded_pallas2_battery(self, problem):
+        """The fused battery+commit kernel composes with shard_map (one
+        independent free-running automaton per device, pallas2 inside) —
+        the pod-scale configuration with speculative batching."""
+        from mcmcglm_tpu.parallel import ShardedFreeRunCGGibbs
+
+        X, y, _ = problem
+        d = X.shape[1]
+        P_ = X.T @ X + np.eye(d)
+        mu = np.linalg.solve(P_, X.T @ y)
+        eng = ShardedFreeRunCGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), d),
+            extra={"sd": 1.0}, tuning={"w": 0.7}, mesh=make_mesh(8, 1),
+            spec_k=4, battery_impl="pallas2", eval_cache="scalar",
+        )
+        st = eng.init(jax.random.key(3), 64)  # 8 chains per device
+        st, _, _ = eng.warmup(st, 80)
+        st, draws, _ = eng.run(st, 250)
+        post = np.asarray(draws)[:, 80:, :].reshape(-1, d)
+        assert np.abs(post.mean(0) - mu).max() < 0.05
