@@ -80,6 +80,15 @@ def _numpy_baseline_sweep_rate(X, y, w=0.5, n_sweeps=2, seed=0, prior_sd=1.0):
 def main():
     import jax
 
+    # persistent compiled-executable cache: the remote compile service in
+    # this environment intermittently wedges for 10-20 min; once one run's
+    # compiles land in the on-disk cache, later runs skip the service
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import mcmcglm_tpu as mg
     from mcmcglm_tpu.datagen import generate_glm_data
     from mcmcglm_tpu.diagnostics import ess
