@@ -8,6 +8,13 @@ dominates the HBM-traffic savings this kernel was built for, so the XLA
 engine remains the default; this path is kept as the kernel-optimisation
 vehicle (see ops/pallas_cggibbs.py for the measured design notes).
 
+Round-2 addendum: the Pallas win landed elsewhere — the freerun engine's
+K-speculative battery kernels (freerun.py::_battery_fn/_battery2_fn)
+keep the while-scheduling in XLA and fuse only the hot evaluation +
+commit, measuring ~2.0x the classic pass composed (results/README.md).
+That splits the difference this whole-sweep kernel could not: Mosaic
+runs the straight-line battery, XLA runs the control flow.
+
 Engine variant where each coordinate update is one fused Pallas kernel call
 (ops/pallas_cggibbs.py) over the whole chain batch: eta lives in VMEM for
 the entire slice-sampling loop, so HBM sees exactly one read and one write
