@@ -108,9 +108,10 @@ def mcmcglm(
     - ``engine_opts`` — extra constructor options for the freerun engines
       (e.g. ``{"shrink_only": False}`` to sample with the full stepping-out
       schedule for heavy-tailed conditionals, ``{"adapt_c": 60.0}``,
-      ``{"eval_cache": "per_obs"}``, ``{"spec_k": 4}`` for K-speculative
-      proposal batching with the one-read Pallas battery on TPU).
-      Ignored by other engines.
+      ``{"eval_cache": "per_obs"}``, ``{"spec_k": 1}`` to disable the
+      K-speculative proposal batteries that the freerun path enables by
+      default on accelerators — spec_k=4 through the fused Pallas battery,
+      ~2.0x the classic pass, identical in law).  Ignored by other engines.
     - ``mesh`` — a ``jax.sharding.Mesh`` (see ``parallel.make_mesh``) to
       run multi-chip: the freerun engine shards chains (one independent
       automaton per device, zero collectives; chain-axis-only meshes);
@@ -204,6 +205,15 @@ def mcmcglm(
             design.X, design.y, fam, prior, extra=extra, tuning=tuning
         )
     elif use_freerun:
+        engine_opts = dict(engine_opts or {})
+        if "spec_k" not in engine_opts and jax.default_backend() != "cpu":
+            # accelerator default: K-speculative batteries through the
+            # fused Pallas evaluator — ~2.0x the classic pass on the
+            # north-star config (results/README.md ladder), identical in
+            # law (tests/test_freerun_spec.py).  CPU keeps spec_k=1: the
+            # XLA battery is compute-bound there, so K-fold extra
+            # evaluations cost wall-clock instead of riding free.
+            engine_opts["spec_k"] = 4
         if mesh is not None:
             # chain-sharded free-running over the mesh (one independent
             # automaton per device, zero collectives)
