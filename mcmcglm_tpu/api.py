@@ -299,7 +299,9 @@ def mcmcglm(
         nev_warm = np.asarray(state.nev).copy()
         n_keep = n_samples - burnin
         if thin > 1:
-            # thinned collection + streaming Welford moments on device
+            # thinned collection + streaming Welford moments on device;
+            # per-sweep eval granularity is not collected here (draws are
+            # thinned too), so report the flat per-sweep average
             n_outer = n_keep // thin
             state, _, kept, _ = sampler.run_thinned(state, n_outer, thin)
             betas = np.concatenate([init_beta, np.asarray(kept)], axis=1)
@@ -307,26 +309,35 @@ def mcmcglm(
             burnin_out = 0  # collected draws are already post-burn-in
             if progress_cb is not None:
                 progress_cb(n_samples, n_samples)
+            nev_sampling = np.asarray(state.nev) - nev_warm
+            n_evals = np.broadcast_to(
+                (nev_sampling / max(n_sweeps_run, 1))[:, None],
+                (n_chains, max(n_sweeps_run, 1)),
+            )
         else:
+            # run() returns per-chain cumulative eval counts at each sweep's
+            # completion; their first difference is the honest per-sweep data
+            nev_parts = []
             if chunk_size > 0:
                 done = 0
                 while done < n_keep:
                     step = min(chunk_size, n_keep - done)
-                    state, sb, _ = sampler.run(state, step)
+                    state, sb, nb = sampler.run(state, step)
                     parts.append(np.asarray(sb))
+                    nev_parts.append(np.asarray(nb))
                     done += step
                     if progress_cb is not None:
                         progress_cb(burnin + done, n_samples)
             else:
-                state, samp_betas, _ = sampler.run(state, n_keep)
+                state, samp_betas, nb = sampler.run(state, n_keep)
                 parts.append(np.asarray(samp_betas))
+                nev_parts.append(np.asarray(nb))
             betas = np.concatenate(parts, axis=1)
-            n_sweeps_run = n_keep
-        nev_sampling = np.asarray(state.nev) - nev_warm
-        n_evals = np.broadcast_to(
-            (nev_sampling / max(n_sweeps_run, 1))[:, None],
-            (n_chains, max(n_sweeps_run, 1)),
-        )
+            cum = np.concatenate(nev_parts, axis=1) if nev_parts else \
+                np.zeros((n_chains, 0), np.int32)
+            n_evals = np.diff(
+                np.concatenate([nev_warm[:, None], cum], axis=1), axis=1
+            )
     elif thin > 1 and sample_method == "slice_sampling" and not use_fused:
         # memory-bounded collection: burn in, then keep every thin-th draw
         # while streaming Welford moments on device (engine.run_thinned)

@@ -289,8 +289,14 @@ class FreeRunCGGibbs:
         if battery_impl in ("pallas", "pallas2"):
             # pad the observation axis once so every pass runs lane-aligned;
             # the padded weight/mask slots are zero, so padded observations
-            # never contribute to any reduction (their log densities are
-            # finite garbage — ld(eta=0, y=0) — but masked)
+            # never contribute to any reduction.  Padded y is 1.0, NOT 0:
+            # several families' log densities contain log(y) terms (gamma,
+            # inverse-gaussian, poisson's lgamma(y+1) is fine but negbin's
+            # lgamma(y+r) wants y finite) that are -inf/NaN at y=0, and the
+            # reductions mask by SELECTION (where), not multiplication,
+            # because 0 * NaN = NaN — either alone would leave a family
+            # (e.g. inverse-gaussian's linkinv(0) = inf) able to freeze
+            # every chain at its init via an all-NaN slice comparison.
             bn = 2048 if self.n >= 2048 else 256
             self._battery_bn = bn
             n_pad = -(-self.n // bn) * bn
@@ -298,11 +304,13 @@ class FreeRunCGGibbs:
             w_vec = ow if obs_weights is not None else jnp.ones((self.n,), dtype)
             self._mask = jnp.pad(w_vec, (0, pad))
             self.Xt = jnp.pad(self.Xt, ((0, 0), (0, pad)))
-            self.y = jnp.pad(self.y, (0, pad))
+            self.y = jnp.pad(self.y, (0, pad), constant_values=1.0)
             if self.offset is not None:
                 self.offset = jnp.pad(self.offset, (0, pad))
             mask = self._mask
-            self.reduce_fn = lambda t: jnp.sum(t * mask, axis=-1)
+            self.reduce_fn = lambda t: jnp.sum(
+                jnp.where(mask != 0, t * mask, 0.0), axis=-1
+            )
             # (1, n_pad) operand views built OUTSIDE any trace: _battery_fn
             # may first run while tracing a jitted pass, and reshaping there
             # would capture (and leak) trace-local tracers in its cache
@@ -355,7 +363,9 @@ class FreeRunCGGibbs:
             for k in range(K):
                 e = eta + xg * deltas[:, k][:, None]
                 ld = fam.log_density_eta(e, yv, extra)
-                cols.append(jnp.sum(ld * mv, axis=1, keepdims=True))
+                # selection, not multiplication: padded slots may hold NaN
+                cols.append(jnp.sum(jnp.where(mv != 0, ld * mv, 0.0),
+                                    axis=1, keepdims=True))
             out_ref[...] += jnp.concatenate(cols, axis=1)
 
         call = pl.pallas_call(
@@ -415,9 +425,21 @@ class FreeRunCGGibbs:
 
         K = self.spec_k
         n_pad = int(self.Xt.shape[1])
-        BC = next((b for b in (32, 16, 8) if C % b == 0), None)
+        # VMEM budget: unlike _battery_fn this kernel holds whole (BC, n_pad)
+        # rows resident (no observation-axis grid), and Mosaic double-buffers
+        # the chain-grid inputs — ~2x(eta + xg) in + 2x eta_new out + y/m,
+        # i.e. ~(6*BC + 4) * n_pad * 4 bytes.  Past ~12 MB of the ~16 MB/core
+        # the compile fails with VMEM exhaustion, so pick the largest fitting
+        # BC and return None (-> n-tiled "pallas" battery) when even BC=8
+        # does not fit.
+        budget = 12 * 1024 * 1024
+        BC = next(
+            (b for b in (32, 16, 8)
+             if C % b == 0 and (6 * b + 4) * n_pad * 4 <= budget),
+            None,
+        )
         if BC is None:
-            return None  # odd chain counts: caller falls back
+            return None  # odd chain counts / VMEM overflow: caller falls back
         fam = self.family
         extra = {k: float(v) for k, v in self.extra.items()}
         y2 = self._y2
@@ -432,11 +454,13 @@ class FreeRunCGGibbs:
             mv = m_ref[...]
 
             # the K-battery: masked log-lik sums, one read of eta/xg
+            # (selection, not multiplication: padded slots may hold NaN)
             cols = []
             for k in range(K):
                 e = eta + xgv * deltas[:, k][:, None]
                 ld = fam.log_density_eta(e, yv, extra)
-                cols.append(jnp.sum(ld * mv, axis=1, keepdims=True))
+                cols.append(jnp.sum(jnp.where(mv != 0, ld * mv, 0.0),
+                                    axis=1, keepdims=True))
             lsum = jnp.concatenate(cols, axis=1)  # (BC, K)
             lsum_ref[...] = lsum
 
@@ -582,8 +606,8 @@ class FreeRunCGGibbs:
 
     # -- the pass -------------------------------------------------------------
 
-    def _pass(self, s: FreeRunState, sweep_count, draws, n_sweeps: int,
-              adapt: bool, shrink_only: bool):
+    def _pass(self, s: FreeRunState, sweep_count, draws, nevbuf,
+              n_sweeps: int, adapt: bool, shrink_only: bool):
         """One target evaluation + automaton advance for every chain."""
         dtype = self.dtype
         C = s.beta.shape[0]
@@ -665,10 +689,14 @@ class FreeRunCGGibbs:
             logw = s.logw.at[rows, jw].set(new_lw, mode="drop")
 
         # coordinate / sweep bookkeeping
+        nev_new = s.nev + active.astype(jnp.int32)
         j_next = jnp.where(commit, s.j + 1, s.j)
         sweep_done = commit & (j_next >= self.d)
         slot = jnp.where(sweep_done, sweep_count, n_sweeps)  # OOB => dropped
         draws = draws.at[rows, slot].set(beta, mode="drop")
+        # cumulative evals at each sweep's completion -> honest per-sweep
+        # counts (diff on the host); same drop-scatter as draws
+        nevbuf = nevbuf.at[rows, slot].set(nev_new, mode="drop")
         sweep_count = jnp.where(sweep_done, sweep_count + 1, sweep_count)
         j_next = jnp.where(sweep_done, 0, j_next)
 
@@ -699,14 +727,14 @@ class FreeRunCGGibbs:
             w=pick("w", s.w),
             xprop=pick("xprop", xprop_nc),
             n_shrink=pick("n_shrink", n_shrink),
-            nev=s.nev + active.astype(jnp.int32),
+            nev=nev_new,
         )
-        return new_state, sweep_count, draws
+        return new_state, sweep_count, draws, nevbuf
 
     # -- the K-speculative pass --------------------------------------------
 
-    def _pass_spec(self, s: FreeRunState, sweep_count, draws, n_sweeps: int,
-                   adapt: bool, shrink_only: bool):
+    def _pass_spec(self, s: FreeRunState, sweep_count, draws, nevbuf,
+                   n_sweeps: int, adapt: bool, shrink_only: bool):
         """K target evaluations + automaton advance per chain per pass.
 
         The enabling fact: in Neal's shrinkage the ALL-REJECTIONS proposal
@@ -776,12 +804,16 @@ class FreeRunCGGibbs:
         rem = jnp.maximum(self.max_shrink - s.n_shrink, 0)
         eta_committed = None
         xg = None
+        # documented fallback chain: pallas2 -> pallas -> xla.  A None from
+        # _battery2_fn (odd chain count, VMEM overflow) drops to the n-tiled
+        # one-read battery, whose grid over the observation axis fits any n;
+        # a None from _battery_fn drops to the XLA broadcast path.
         battery2 = (
             self._battery2_fn(C) if self.battery_impl == "pallas2" else None
         )
-        battery = (
-            self._battery_fn(C) if self.battery_impl == "pallas" else None
-        )
+        battery = None
+        if battery2 is None and self.battery_impl in ("pallas", "pallas2"):
+            battery = self._battery_fn(C)
         if battery2 is not None:
             # fused pass: battery eval + in-kernel eta commit; the
             # decision below is replayed on the identical lsum values
@@ -877,10 +909,13 @@ class FreeRunCGGibbs:
             jw = jnp.where(accept_move, s.j, self.d)
             logw = s.logw.at[rows, jw].set(new_lw, mode="drop")
 
+        consumed = jnp.where(stepping, consumed_step, consumed_sh)
+        nev_new = s.nev + jnp.where(active, consumed, 0)
         j_next = jnp.where(commit, s.j + 1, s.j)
         sweep_done = commit & (j_next >= self.d)
         slot = jnp.where(sweep_done, sweep_count, n_sweeps)
         draws = draws.at[rows, slot].set(beta, mode="drop")
+        nevbuf = nevbuf.at[rows, slot].set(nev_new, mode="drop")
         sweep_count = jnp.where(sweep_done, sweep_count + 1, sweep_count)
         j_next = jnp.where(sweep_done, 0, j_next)
 
@@ -888,8 +923,6 @@ class FreeRunCGGibbs:
 
         def pick(name, old):
             return jnp.where(commit, reg[name], old)
-
-        consumed = jnp.where(stepping, consumed_step, consumed_sh)
         new_state = FreeRunState(
             beta=beta, eta=eta, ld0=ld0, key=key, logw=logw,
             j=j_next,
@@ -902,9 +935,9 @@ class FreeRunCGGibbs:
             w=pick("w", s.w),
             xprop=pick("xprop", s.xprop),  # unused in spec mode
             n_shrink=pick("n_shrink", n_shrink),
-            nev=s.nev + jnp.where(active, consumed, 0),
+            nev=nev_new,
         )
-        return new_state, sweep_count, draws
+        return new_state, sweep_count, draws, nevbuf
 
     # -- runs -------------------------------------------------------------
 
@@ -912,28 +945,91 @@ class FreeRunCGGibbs:
              shrink_only: bool):
         C = state.beta.shape[0]
         draws0 = jnp.zeros((C, n_sweeps, self.d), self.dtype)
+        nevbuf0 = jnp.zeros((C, n_sweeps), jnp.int32)
 
         def cond(carry):
-            _, sweep_count, _ = carry
+            _, sweep_count, _, _ = carry
             return jnp.any(sweep_count < n_sweeps)
 
         def body(carry):
-            s, sweep_count, draws = carry
+            s, sweep_count, draws, nevbuf = carry
             if self.spec_k > 1:
-                return self._pass_spec(s, sweep_count, draws, n_sweeps,
-                                       adapt, shrink_only)
-            return self._pass(s, sweep_count, draws, n_sweeps, adapt, shrink_only)
+                return self._pass_spec(s, sweep_count, draws, nevbuf,
+                                       n_sweeps, adapt, shrink_only)
+            return self._pass(s, sweep_count, draws, nevbuf, n_sweeps,
+                              adapt, shrink_only)
 
-        state, _, draws = lax.while_loop(
-            cond, body, (state, jnp.zeros((C,), jnp.int32), draws0)
+        state, _, draws, nevbuf = lax.while_loop(
+            cond, body, (state, jnp.zeros((C,), jnp.int32), draws0, nevbuf0)
         )
-        return state, draws
+        return state, draws, nevbuf
+
+    def _run_pass_block(self, state: FreeRunState, sweep_count, *,
+                        n_sweeps: int, n_passes: int, adapt: bool,
+                        shrink_only: bool):
+        """Advance by at most ``n_passes`` device passes toward a quota of
+        ``n_sweeps`` completed sweeps per chain, WITHOUT collecting draws.
+
+        Unlike :meth:`_run`, the loop condition also bounds the pass count
+        and ``sweep_count`` is a carried argument, so a long run can be
+        split into dispatches of bounded wall-clock (remote runtimes
+        enforce per-dispatch RPC deadlines).  Sweep-granular dispatching
+        pays the cross-chain sweep tail (the slowest lane's evaluation
+        count) on EVERY dispatch; a pass-granular dispatch pays it once at
+        the end of the whole run — the pod-scale warmup mode."""
+        C = state.beta.shape[0]
+        draws0 = jnp.zeros((C, 1, self.d), self.dtype)
+        nevbuf0 = jnp.zeros((C, 1), jnp.int32)
+
+        def cond(carry):
+            _, sweep_count, _, _, p = carry
+            return jnp.any(sweep_count < n_sweeps) & (p < n_passes)
+
+        def body(carry):
+            s, sweep_count, draws, nevbuf, p = carry
+            step = self._pass_spec if self.spec_k > 1 else self._pass
+            s, sweep_count, draws, nevbuf = step(
+                s, sweep_count, draws, nevbuf, n_sweeps, adapt, shrink_only
+            )
+            return s, sweep_count, draws, nevbuf, p + 1
+
+        state, sweep_count, _, _, _ = lax.while_loop(
+            cond, body,
+            (state, sweep_count, draws0, nevbuf0, jnp.zeros((), jnp.int32)),
+        )
+        return state, sweep_count
+
+    def warmup_passes(self, state: FreeRunState, sweep_count, n_sweeps: int,
+                      n_passes: int):
+        """Advance adaptive warmup by at most ``n_passes`` device passes
+        toward ``n_sweeps`` completed warmup sweeps per chain.
+
+        Returns ``(state, sweep_count)``; call repeatedly (passing the
+        returned ``sweep_count`` back in) until
+        ``(sweep_count >= n_sweeps).all()``.  Identical in law to a single
+        ``warmup(state, n_sweeps)`` call — same per-pass kernel, same PRNG
+        consumption — but each dispatch's wall-clock is bounded by the pass
+        budget instead of by the slowest chain's sweep, which is what keeps
+        4096-chain warmups inside remote-dispatch RPC deadlines without
+        paying the cross-chain tail once per sweep."""
+        key_ = ("passes", n_sweeps, n_passes, int(state.beta.shape[0]))
+        fn = self._run_cache.get(key_)
+        if fn is None:
+            fn = jax.jit(partial(
+                self._run_pass_block, n_sweeps=n_sweeps, n_passes=n_passes,
+                adapt=True, shrink_only=False,
+            ))
+            self._run_cache[key_] = fn
+        return fn(state, sweep_count)
 
     def run(self, state: FreeRunState, n_sweeps: int):
         """Advance every chain by ``n_sweeps`` completed Gibbs sweeps.
 
-        Returns (state, draws (C, n_sweeps, d), n_evals (C,)) — n_evals is
-        the cumulative per-chain target-evaluation count."""
+        Returns (state, draws (C, n_sweeps, d), nev_at_sweep (C, n_sweeps))
+        — nev_at_sweep[c, s] is chain c's CUMULATIVE target-evaluation
+        count at the completion of its s-th sweep in this run, so honest
+        per-sweep counts are its first difference (against the pre-run
+        ``state.nev``)."""
         return self._run_cached(state, n_sweeps, adapt=False,
                                 shrink_only=self.shrink_only)
 
@@ -951,8 +1047,8 @@ class FreeRunCGGibbs:
 
         def outer(carry, _):
             st, (cnt, mean, m2) = carry
-            st, draws = self._run(st, thin, adapt=False,
-                                  shrink_only=shrink_only)
+            st, draws, _ = self._run(st, thin, adapt=False,
+                                     shrink_only=shrink_only)
             mu_c = jnp.mean(draws, axis=1)  # (C, d)
             m2_c = jnp.sum((draws - mu_c[:, None, :]) ** 2, axis=1)
             cnt2 = cnt + float(thin)
@@ -1015,8 +1111,8 @@ class FreeRunCGGibbs:
             fn = jax.jit(partial(self._run, n_sweeps=n_sweeps, adapt=adapt,
                                  shrink_only=shrink_only))
             self._run_cache[key_] = fn
-        state, draws = fn(state)
-        return state, draws, state.nev
+        state, draws, nevbuf = fn(state)
+        return state, draws, nevbuf
 
     def sample(self, key, n_samples: int, n_chains: int = 1, chunk_size: int = 0,
                progress=None):

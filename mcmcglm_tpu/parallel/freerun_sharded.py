@@ -129,20 +129,21 @@ class ShardedFreeRunCGGibbs:
         if fn is None:
 
             def run_shard(st):
-                st2, draws = self.inner._run(
+                st2, draws, nevbuf = self.inner._run(
                     st._replace(key=st.key[0]), n_sweeps, adapt, shrink_only
                 )
-                return st2._replace(key=st2.key[None]), draws
+                return st2._replace(key=st2.key[None]), draws, nevbuf
 
             fn = jax.jit(
                 shard_map(
                     run_shard, mesh=self.mesh, in_specs=(specs,),
-                    out_specs=(specs, P(CHAIN_AXIS, None, None)),
+                    out_specs=(specs, P(CHAIN_AXIS, None, None),
+                               P(CHAIN_AXIS, None)),
                 )
             )
             self._fn_cache[key_] = fn
-        state, draws = fn(state)
-        return state, draws, state.nev
+        state, draws, nevbuf = fn(state)
+        return state, draws, nevbuf
 
     def run(self, state: FreeRunState, n_sweeps: int):
         """Advance every chain by ``n_sweeps`` sweeps; each device's
@@ -154,6 +155,42 @@ class ShardedFreeRunCGGibbs:
         """Adaptive-width warmup (full stepping-out), per-shard."""
         return self._run_sharded(state, n_sweeps, adapt=True,
                                  shrink_only=False)
+
+    def warmup_passes(self, state: FreeRunState, sweep_count, n_sweeps: int,
+                      n_passes: int):
+        """Pass-bounded adaptive warmup, per shard — the pod-scale warmup
+        mode (see FreeRunCGGibbs.warmup_passes).  ``sweep_count`` is a
+        chain-sharded (C,) int32 counter; pass ``None`` to start from zero.
+        Returns (state, sweep_count); loop until
+        ``(np.asarray(sweep_count) >= n_sweeps).all()``."""
+        specs = self._specs()
+        C = int(state.beta.shape[0])
+        if sweep_count is None:
+            sweep_count = jax.device_put(
+                jnp.zeros((C,), jnp.int32),
+                NamedSharding(self.mesh, P(CHAIN_AXIS)),
+            )
+        key_ = ("passes", n_sweeps, n_passes, C)
+        fn = self._fn_cache.get(key_)
+        if fn is None:
+
+            def run_shard(st, sc):
+                st2, sc2 = self.inner._run_pass_block(
+                    st._replace(key=st.key[0]), sc,
+                    n_sweeps=n_sweeps, n_passes=n_passes,
+                    adapt=True, shrink_only=False,
+                )
+                return st2._replace(key=st2.key[None]), sc2
+
+            fn = jax.jit(
+                shard_map(
+                    run_shard, mesh=self.mesh,
+                    in_specs=(specs, P(CHAIN_AXIS)),
+                    out_specs=(specs, P(CHAIN_AXIS)),
+                )
+            )
+            self._fn_cache[key_] = fn
+        return fn(state, sweep_count)
 
     def run_thinned(self, state: FreeRunState, n_outer: int, thin: int,
                     moments=None):

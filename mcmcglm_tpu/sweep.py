@@ -130,7 +130,8 @@ def _batched_sweep(values, name, **kwargs):
         design = build_design(formula, kwargs["data"])
     else:
         design = design_from_arrays(
-            kwargs["X"], kwargs["y"], columns=kwargs.get("columns")
+            kwargs["X"], kwargs["y"], columns=kwargs.get("columns"),
+            add_intercept=kwargs.get("add_intercept", False),
         )
     d = design.X.shape[1]
     prior = make_beta_prior(kwargs.get("beta_prior") or Normal(0.0, 1.0), d)
@@ -150,7 +151,10 @@ def _batched_sweep(values, name, **kwargs):
 
     eng = CGGibbs(
         design.X, design.y, fam, prior, extra=extra,
-        config=EngineConfig(slice_kernel=kernel), tuning=fixed_tuning,
+        config=EngineConfig(
+            slice_kernel=kernel, dtype=kwargs.get("dtype", jnp.float32)
+        ),
+        tuning=fixed_tuning,
         chain_tuning_names=(name,),
         offset=design.offset,
     )

@@ -203,6 +203,11 @@ class TestFreerunAPIWiring:
         assert 1.0 < per_coord < 8.0
         # shape: one column per sampling sweep
         assert fit.n_evals.shape == (4, 200)
+        # honest per-sweep data (not a broadcast flat average): counts are
+        # integral, positive, and vary across sweeps
+        assert (fit.n_evals > 0).all()
+        assert np.allclose(fit.n_evals, np.round(fit.n_evals))
+        assert fit.n_evals.std(axis=1).min() > 0
 
     def test_engine_opts_spec_k(self, dat_norm):
         """engine_opts threads spec_k (K-speculative batching) through the

@@ -68,7 +68,13 @@ def test_adapted_widths_cut_eval_count():
     st, _, _ = fr.warmup(st, 80)
     nev0 = np.asarray(st.nev).copy()
     st, _, nev = fr.run(st, 100)
-    per_coord = (np.asarray(nev) - nev0).mean() / (100 * 5)
+    # run() returns cumulative per-sweep eval counts (C, n_sweeps)
+    nev = np.asarray(nev)
+    assert nev.shape == (8, 100)
+    per_sweep = np.diff(np.concatenate([nev0[:, None], nev], axis=1), axis=1)
+    assert (per_sweep > 0).all()  # honest per-sweep data, not a flat average
+    assert per_sweep.std() > 0
+    per_coord = per_sweep.mean() / 5
     # shrink-only with adapted widths (default adapt_c=40): ~3-4 evals per
     # coordinate regardless of how badly the initial w was sized
     assert per_coord < 6.0

@@ -62,7 +62,7 @@ def test_spec_eval_count_matches_classic_in_law():
         st, _, _ = eng.warmup(st, 60)
         nev0 = np.asarray(st.nev).copy()
         st, _, nev = eng.run(st, 200)
-        rates.append((np.asarray(nev) - nev0).mean() / (200 * 12))
+        rates.append((np.asarray(nev)[:, -1] - nev0).mean() / (200 * 12))
     assert abs(rates[0] - rates[1]) / rates[0] < 0.05
 
 
@@ -238,7 +238,168 @@ class TestPallas2FusedCommit:
             nev0 = np.asarray(st.nev).copy()
             st, draws, nev = fr.run(st, 250)
             posts.append(np.asarray(draws)[:, 60:, :].reshape(-1, 6))
-            rates.append((np.asarray(nev) - nev0).mean() / (250 * 6))
+            rates.append((np.asarray(nev)[:, -1] - nev0).mean() / (250 * 6))
         assert abs(rates[0] - rates[1]) / rates[0] < 0.06
         assert np.abs(posts[0].mean(0) - posts[1].mean(0)).max() < 0.06
         assert np.abs(posts[0].std(0) / posts[1].std(0) - 1.0).max() < 0.15
+
+
+class TestBatteryPaddingSafety:
+    """ADVICE round-2 high finding: the battery pads the observation axis,
+    and gamma/inverse-gaussian log densities contain log(y) terms that are
+    NaN/-inf at a padded y=0 — with multiplicative masking (0 * NaN = NaN)
+    every slice comparison went NaN and chains silently froze at init.
+    The fix pads y with 1.0 and masks by selection; these tests pin it."""
+
+    def _gamma_problem(self, n=300, d=4, seed=0):
+        # n chosen NOT lane-aligned so the battery genuinely pads (300->512)
+        rng = np.random.default_rng(seed)
+        X = np.column_stack(
+            [np.ones(n), rng.normal(size=(n, d - 1)) / np.sqrt(d - 1)]
+        )
+        beta_true = np.linspace(0.8, -0.4, d)
+        mu = np.exp(X @ beta_true)
+        y = rng.gamma(shape=2.0, scale=mu / 2.0)
+        return X, y, beta_true
+
+    def test_gamma_battery_padding_no_nan_freeze(self):
+        from mcmcglm_tpu.models.families import gamma
+
+        X, y, beta_true = self._gamma_problem()
+        d = X.shape[1]
+        fr = FreeRunCGGibbs(
+            X, y, gamma("log"), mg.IIDPrior(mg.Normal(0.0, 2.0), d),
+            extra={"shape": 2.0}, tuning={"w": 0.5}, spec_k=4,
+            eval_cache="scalar", battery_impl="pallas2",
+        )
+        st = fr.init(jax.random.key(0), 16)
+        init_beta = np.asarray(st.beta).copy()
+        st, _, _ = fr.warmup(st, 40)
+        st, draws, _ = fr.run(st, 150)
+        draws = np.asarray(draws)
+        assert np.isfinite(draws).all()
+        # chains actually moved (the bug froze them bitwise at init)
+        assert np.abs(draws[:, -1, :] - init_beta).max() > 0.01
+        post = draws[:, 50:, :].reshape(-1, d)
+        assert np.abs(post.mean(0) - beta_true).max() < 0.25
+
+    def test_gamma_battery_matches_xla_posterior(self):
+        """pallas battery vs the (unpadded) XLA battery on the same gamma
+        problem: agreeing posteriors prove the padded slots truly drop out."""
+        from mcmcglm_tpu.models.families import gamma
+
+        X, y, _ = self._gamma_problem()
+        d = X.shape[1]
+        posts = []
+        for impl in ("xla", "pallas"):
+            fr = FreeRunCGGibbs(
+                X, y, gamma("log"), mg.IIDPrior(mg.Normal(0.0, 2.0), d),
+                extra={"shape": 2.0}, tuning={"w": 0.5}, spec_k=4,
+                eval_cache="scalar", battery_impl=impl,
+            )
+            st = fr.init(jax.random.key(3), 16)
+            st, _, _ = fr.warmup(st, 60)
+            st, draws, _ = fr.run(st, 250)
+            posts.append(np.asarray(draws)[:, 80:, :].reshape(-1, d))
+        assert np.abs(posts[0].mean(0) - posts[1].mean(0)).max() < 0.08
+        assert np.abs(posts[0].std(0) / posts[1].std(0) - 1.0).max() < 0.2
+
+    def test_invgauss_battery_padding_no_nan(self):
+        """inverse-gaussian with the default 1/mu^2 link: linkinv(0) = inf
+        at padded slots — only selection masking survives this."""
+        from mcmcglm_tpu.models.families import inverse_gaussian
+
+        rng = np.random.default_rng(1)
+        n, d = 200, 3
+        X = np.column_stack([np.ones(n), rng.normal(size=(n, d - 1))])
+        y = rng.wald(mean=1.0, scale=2.0, size=n)
+        fr = FreeRunCGGibbs(
+            X, y, inverse_gaussian("log"), mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+            extra={"dispersion": 0.5}, tuning={"w": 0.5}, spec_k=4,
+            eval_cache="scalar", battery_impl="pallas",
+        )
+        st = fr.init(jax.random.key(0), 8)
+        st, _, _ = fr.warmup(st, 30)
+        st, draws, _ = fr.run(st, 60)
+        assert np.isfinite(np.asarray(draws)).all()
+
+
+class TestBattery2VmemGate:
+    """ADVICE round-2 medium finding: _battery2_fn keeps whole (BC, n_pad)
+    rows VMEM-resident; large-n problems must fall back to the n-tiled
+    battery instead of failing at Mosaic compile time."""
+
+    def test_large_n_falls_back_to_tiled_battery(self):
+        n, d = 60_000, 4  # n_pad 61440: (6*8+4)*n_pad*4 = 12.8 MB > budget
+        rng = np.random.default_rng(0)
+        X = np.column_stack([np.ones(n), rng.normal(size=(n, d - 1))])
+        y = rng.binomial(1, 0.5, size=n).astype(np.float64)
+        fr = FreeRunCGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+            tuning={"w": 0.5}, spec_k=4, eval_cache="scalar",
+            battery_impl="pallas2",
+        )
+        assert fr._battery2_fn(16) is None  # VMEM gate rejects
+        assert fr._battery_fn(16) is not None  # chain falls to n-tiled
+        # small n keeps the fused-commit kernel
+        frs = FreeRunCGGibbs(
+            X[:2000], y[:2000], "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+            tuning={"w": 0.5}, spec_k=4, eval_cache="scalar",
+            battery_impl="pallas2",
+        )
+        assert frs._battery2_fn(16) is not None
+
+    def test_fallback_chain_runs_end_to_end(self):
+        """battery_impl='pallas2' with a VMEM-overflowing n must still
+        sample (through the n-tiled battery), not crash."""
+        n, d = 60_000, 3
+        rng = np.random.default_rng(2)
+        X = np.column_stack([np.ones(n), rng.normal(size=(n, d - 1))])
+        beta_true = np.array([0.5, -0.3, 0.2])
+        y = rng.binomial(
+            1, 1.0 / (1.0 + np.exp(-X @ beta_true))
+        ).astype(np.float64)
+        fr = FreeRunCGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+            tuning={"w": 0.5}, spec_k=4, eval_cache="scalar",
+            battery_impl="pallas2",
+        )
+        st = fr.init(jax.random.key(0), 8)
+        st, _, _ = fr.warmup(st, 5)
+        st, draws, _ = fr.run(st, 10)
+        assert np.isfinite(np.asarray(draws)).all()
+
+
+def test_warmup_passes_bitwise_matches_warmup():
+    """The pass-bounded warmup (pod-scale dispatch mode) executes the exact
+    same pass sequence as one monolithic warmup call: final state bitwise
+    identical, regardless of how the pass budget slices the run."""
+    X, y, _ = generate_glm_data("binomial", n=400, d=6, seed=5)
+    d = X.shape[1]
+
+    def make():
+        return FreeRunCGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+            tuning={"w": 0.5}, spec_k=4,
+        )
+
+    fr1 = make()
+    st1 = fr1.init(jax.random.key(7), 8)
+    st1, _, _ = fr1.warmup(st1, 20)
+
+    fr2 = make()
+    st2 = fr2.init(jax.random.key(7), 8)
+    sc = jax.numpy.zeros((8,), jax.numpy.int32)
+    for _ in range(10_000):
+        st2, sc = fr2.warmup_passes(st2, sc, 20, 37)
+        if (np.asarray(sc) >= 20).all():
+            break
+    else:
+        raise AssertionError("warmup_passes never completed")
+    assert np.array_equal(np.asarray(st1.beta), np.asarray(st2.beta))
+    assert np.array_equal(np.asarray(st1.logw), np.asarray(st2.logw))
+    assert np.array_equal(np.asarray(st1.nev), np.asarray(st2.nev))
+    assert np.array_equal(
+        np.asarray(jax.random.key_data(st1.key)),
+        np.asarray(jax.random.key_data(st2.key)),
+    )

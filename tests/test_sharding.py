@@ -148,7 +148,7 @@ class TestShardedFreeRun:
         assert draws.shape == (16, 300, d)
         post = draws[:, 60:, :].reshape(-1, d)
         assert np.abs(post.mean(0) - mu).max() < 0.05
-        assert np.asarray(nev).shape == (16,)
+        assert np.asarray(nev).shape == (16, 300)
 
     def test_shard_runs_match_standalone(self, problem):
         """Each shard's chains are bitwise what a standalone FreeRunCGGibbs

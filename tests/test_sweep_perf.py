@@ -87,6 +87,24 @@ class TestSweep:
         icpt = par[0].coef().values[0]
         assert icpt < -1.0
 
+    def test_batched_sweep_threads_add_intercept(self, dat_norm):
+        """ADVICE round-2 medium: add_intercept on the array path must reach
+        the batched engine — a silent no-intercept fit would center the
+        first coefficient wrongly."""
+        X = np.column_stack([dat_norm["X1"], dat_norm["X2"]])
+        y = np.asarray(dat_norm["Y"])
+        par = mg.mcmcglm_across_tuningparams(
+            [0.5, 1.5], "w", parallelise=True,
+            X=X, y=y, family="gaussian", add_intercept=True,
+            n_samples=200, burnin=50, n_chains=2, seed=0,
+        )
+        for f in par:
+            assert f.beta.shape == (2, 201, 3)  # intercept column present
+            assert f.columns[0] == "(Intercept)"
+            np.testing.assert_allclose(
+                f.coef().values, [1.0, 1.5, 2.0], atol=0.3
+            )
+
     def test_sweep_other_param(self, dat_norm):
         fits = mg.mcmcglm_across_tuningparams(
             [2.0, 50.0],
