@@ -10,7 +10,9 @@ and a dense design matrix:
   * ``"Y ~ ."`` — all non-response columns (the form used throughout the
     reference docs, e.g. README.md:71);
   * ``"Y ~ X1 + X2 - 1"`` / ``"... + 0"`` — drop the intercept;
-  * ``"Y ~ X1:X2"`` and ``"Y ~ X1*X2"`` — interactions / crossed expansion;
+  * ``"Y ~ X1:X2"`` and ``"Y ~ X1*X2"`` — interactions / crossed expansion,
+    at any order (``a:b:c``; ``a*b*c`` expands to all main effects and
+    interactions up to degree 3, ordered by degree like R);
   * categorical (pandas ``category`` / object / bool) columns expand to
     treatment-coded dummies dropping the first level, like R's default
     contrasts; interaction terms expand over dummy pairs;
@@ -32,6 +34,7 @@ large-scale sharded path where data never lives in a DataFrame.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Mapping, Optional, Sequence
 
 import numpy as np
@@ -204,16 +207,17 @@ def _parse_terms(rhs: str, columns: Sequence[str], response: str):
             offsets.append(head[len("offset("):-1])
             continue
         star_parts, _ = _split_top(head, "*")
-        if len(star_parts) == 2:
-            a, b = [t.strip() for t in star_parts]
-            for t in (a, b, f"{a}:{b}"):
-                if t not in terms:
-                    terms.append(t)
-        elif len(star_parts) > 2:
-            raise ValueError(
-                f"unsupported term {head!r}: only two-way '*' crossing is "
-                "supported"
-            )
+        if len(star_parts) > 1:
+            # full factorial crossing, any order (R: a*b*c = all main
+            # effects + all interactions up to a:b:c, ordered by degree —
+            # the expansion stats::model.matrix performs,
+            # R/family_data_processing.R:31-33)
+            factors = [t.strip() for t in star_parts]
+            for r in range(1, len(factors) + 1):
+                for combo in itertools.combinations(factors, r):
+                    t = ":".join(combo)
+                    if t not in terms:
+                        terms.append(t)
         else:
             if head not in terms:
                 terms.append(head)
@@ -264,17 +268,20 @@ def build_design(formula: str, data) -> Design:
         columns.append(np.ones(n))
     for term in terms:
         parts, _ = _split_top(term, ":")
-        if len(parts) == 2:
-            a, b = [t.strip() for t in parts]
-            for na, ca in _expand_single_term(a, cols):
-                for nb, cb in _expand_single_term(b, cols):
-                    names.append(f"{na}:{nb}")
-                    columns.append(np.asarray(ca, np.float64) * cb)
-        elif len(parts) > 2:
-            raise ValueError(
-                f"unsupported term {term!r}: only two-way ':' interactions "
-                "are supported"
-            )
+        if len(parts) > 1:
+            # n-way interaction: cartesian product of each factor's
+            # expansion (categoricals contribute one dummy per non-base
+            # level), columns multiplied elementwise, names joined with ':'
+            # in R's contrast style (e.g. "x:gb:tc")
+            expansions = [
+                _expand_single_term(p.strip(), cols) for p in parts
+            ]
+            for combo in itertools.product(*expansions):
+                names.append(":".join(nm for nm, _ in combo))
+                col = np.asarray(combo[0][1], np.float64)
+                for _, c in combo[1:]:
+                    col = col * c
+                columns.append(col)
         else:
             for nm, c in _expand_single_term(term, cols):
                 names.append(nm)

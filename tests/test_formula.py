@@ -53,6 +53,38 @@ class TestBuildDesign:
         d = build_design("Y ~ X1*X2", df)
         assert d.columns == ["(Intercept)", "X1", "X2", "X1:X2"]
 
+    def test_three_way_interaction(self, df):
+        d = build_design("Y ~ X1:X2:X1", df)
+        assert d.columns == ["(Intercept)", "X1:X2:X1"]
+        np.testing.assert_allclose(
+            d.X[:, 1], df["X1"] * df["X2"] * df["X1"]
+        )
+
+    def test_three_way_star_expansion(self, df):
+        """a*b*c = all main effects + interactions up to degree 3, ordered
+        by degree (R's model.matrix expansion,
+        /root/reference/R/family_data_processing.R:31-33)."""
+        df = dict(df)
+        df["X3"] = np.asarray(df["X1"]) + 1.0
+        d = build_design("Y ~ X1*X2*X3", df)
+        assert d.columns == [
+            "(Intercept)", "X1", "X2", "X3",
+            "X1:X2", "X1:X3", "X2:X3", "X1:X2:X3",
+        ]
+        np.testing.assert_allclose(
+            d.X[:, -1], np.asarray(df["X1"]) * df["X2"] * df["X3"]
+        )
+
+    def test_categorical_in_higher_order_interaction(self, df):
+        """Categoricals inside an n-way term expand per non-base level with
+        R contrast naming (x:gb, x:gc)."""
+        d = build_design("Y ~ X1:g:X2", df)
+        assert d.columns == ["(Intercept)", "X1:gb:X2", "X1:gc:X2"]
+        gb = (np.asarray(df["g"]) == "b").astype(float)
+        np.testing.assert_allclose(
+            d.X[:, 1], np.asarray(df["X1"]) * gb * df["X2"]
+        )
+
     def test_dict_input(self):
         data = {"Y": np.arange(5.0), "Z": np.ones(5)}
         d = build_design("Y ~ Z", data)
