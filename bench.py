@@ -162,7 +162,7 @@ def main():
     timed_s = time.perf_counter() - t0
 
     draws = np.concatenate([np.asarray(p) for p in parts_dev], axis=1)  # (C, K, d)
-    n_evals = (np.asarray(state.nev) - nev0) / (timed_sweeps + chunk)
+    n_evals = (np.asarray(state.nev) - nev0) / timed_sweeps
     ess_all = ess(draws)
     min_ess = float(np.min(ess_all))
     med_ess = float(np.median(ess_all))

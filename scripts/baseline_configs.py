@@ -75,14 +75,25 @@ def _nuts_crosscheck(X, y, family, prior, extra, post_mean, post_sd, seed=7,
     }
 
 
+def _engine_opts(battery: str = "auto"):
+    """Flagship engine options: the K-speculative Pallas proposal battery
+    (the configuration bench.py and the api default run) on accelerators;
+    spec_k=1 on CPU where the XLA battery is compute-bound."""
+    if jax.default_backend() == "cpu":
+        return {}
+    return {"spec_k": 4, "battery_impl": battery}
+
+
 def run_config(name, family, n, d, prior, w, n_chains, burnin, timed,
-               extra=None, nuts_check=False, init_at_prior_mean=False):
+               extra=None, nuts_check=False, init_at_prior_mean=False,
+               engine_opts=None):
     """Freerun engine (the production configuration): adaptive-width warmup
     over the burn-in, then frozen-width shrink-only sampling."""
     X, y, beta_true = generate_glm_data(family, n=n, d=d, seed=0)
 
     eng = FreeRunCGGibbs(X, y, family, mg.make_beta_prior(prior, d),
-                         extra=extra or {}, tuning={"w": w})
+                         extra=extra or {}, tuning={"w": w},
+                         **dict(engine_opts or {}))
     beta0 = np.asarray(eng.prior.mean_beta()) if init_at_prior_mean else None
     state = eng.init(jax.random.key(0), n_chains, beta0=beta0)
     t0 = time.perf_counter()
@@ -124,6 +135,8 @@ def run_config(name, family, n, d, prior, w, n_chains, burnin, timed,
         "family": family,
         "n": n,
         "d": d,
+        "spec_k": eng.spec_k,
+        "battery": eng.battery_impl,
         "chains": n_chains,
         "warmup_sweeps": burnin,
         "timed_sweeps": timed,
@@ -144,32 +157,49 @@ def run_config(name, family, n, d, prior, w, n_chains, burnin, timed,
     return out
 
 
-def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin):
+def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
+                    wu_passes=1500):
     """Config #5: massive chain count on the flagship free-running engine,
     chain-sharded over the device mesh (zero collectives), with thinned
     collection + streaming per-chain Welford moments merged into pooled
-    R-hat on device (parallel/pooled.py)."""
+    R-hat on device (parallel/pooled.py).  Runs the FULL flagship
+    optimization: K-speculative Pallas batteries (engine_opts) and
+    pass-bounded warmup dispatches (warmup_passes), which keep every
+    dispatch under the remote-runtime RPC deadline WITHOUT paying the
+    cross-chain sweep tail per dispatch (the round-2 1-sweep-per-dispatch
+    workaround spent 337 s warming 30 sweeps)."""
     from mcmcglm_tpu.parallel.freerun_sharded import ShardedFreeRunCGGibbs
 
     X, y, beta_true = generate_glm_data("binomial", n=n, d=d, seed=0)
     eng = ShardedFreeRunCGGibbs(
         X, y, "binomial", mg.make_beta_prior(mg.Normal(0, 1), d),
-        tuning={"w": 0.5},
+        tuning={"w": 0.5}, **dict(engine_opts or {}),
     )
     state = eng.init(jax.random.key(0), n_chains)
     t0 = time.perf_counter()
-    # chunked warmup dispatches: a single 4096-chain adaptive executable can
-    # exceed the remote runtime's RPC deadline (UNAVAILABLE device errors)
-    # at 4096 chains a warmup sweep is ~5k passes of ~1.5 ms each, so even
-    # a handful of sweeps per dispatch can blow the deadline — go 1 at a time
-    wu_chunk = 1 if n_chains >= 2048 else (5 if n_chains >= 1024 else burnin)
-    done_w = 0
-    while done_w < burnin:
-        step = min(wu_chunk, burnin - done_w)
-        state, _, _ = eng.warmup(state, step)
-        jax.block_until_ready(state.beta)
-        done_w += step
-        _log(f"pod: warmup {done_w}/{burnin}")
+    if n_chains >= 1024:
+        # pass-bounded warmup: fixed device-pass blocks per dispatch
+        sc = None
+        blk = 0
+        while True:
+            state, sc = eng.warmup_passes(state, sc, burnin, wu_passes)
+            jax.block_until_ready(state.beta)
+            scn = np.asarray(sc)
+            blk += 1
+            _log(f"pod: warmup block {blk} "
+                 f"(sweeps min {scn.min()} / median {int(np.median(scn))} "
+                 f"/ quota {burnin})")
+            if (scn >= burnin).all():
+                break
+    else:
+        wu_chunk = 5 if n_chains >= 256 else burnin
+        done_w = 0
+        while done_w < burnin:
+            step = min(wu_chunk, burnin - done_w)
+            state, _, _ = eng.warmup(state, step)
+            jax.block_until_ready(state.beta)
+            done_w += step
+            _log(f"pod: warmup {done_w}/{burnin}")
     warm_s = time.perf_counter() - t0
     # compile the thinned sampling executable (one outer block)
     state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin)
@@ -204,6 +234,8 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin):
     out = {
         "config": "pod_%d_chains_p%d_logistic" % (n_chains, d),
         "engine": "ShardedFreeRunCGGibbs+run_thinned",
+        "spec_k": eng.inner.spec_k,
+        "battery": eng.inner.battery_impl,
         "chains": n_chains,
         "n": n,
         "d": d,
@@ -230,32 +262,39 @@ def main():
                     help="skip the long 4096-chain pooled config")
     ap.add_argument("--only", type=int, default=0,
                     help="run a single config (1-5)")
+    ap.add_argument("--battery", default="auto",
+                    choices=["auto", "pallas2", "pallas", "xla"],
+                    help="battery impl for the speculative engine opts")
     args = ap.parse_args()
     s = args.small
     only = args.only
+    opts = _engine_opts(args.battery)
 
     if only in (0, 1):
         run_config("readme_gaussian_n1000_p3", "gaussian", 1000, 3,
                    mg.Normal(0, 1), 0.5, 8 if s else 64, 100, 400,
-                   extra={"sd": 1.0})
+                   extra={"sd": 1.0}, engine_opts=opts)
     if only in (0, 2):
         run_config("logistic_n10k_p100_normal", "binomial",
                    2000 if s else 10_000, 100, mg.Normal(0, 1), 0.5,
-                   8 if s else 64, 60, 100, nuts_check=True)
+                   8 if s else 64, 60, 100, nuts_check=True,
+                   engine_opts=opts)
     if only in (0, 3):
         run_config("poisson_n10k_p100_laplace", "poisson",
                    2000 if s else 10_000, 100, mg.Laplace(0, 1), 0.3,
-                   8 if s else 64, 60, 100, nuts_check=True)
+                   8 if s else 64, 60, 100, nuts_check=True,
+                   engine_opts=opts)
     if only in (0, 4):
         run_config("gaussian_p10k_stress", "gaussian",
                    1000 if s else 2000, 1000 if s else 10_000,
                    mg.Normal(0, 1), 0.5, 8 if s else 64,
                    10 if s else 60, 10 if s else 60,
-                   extra={"sd": 1.0}, init_at_prior_mean=True)
+                   extra={"sd": 1.0}, init_at_prior_mean=True,
+                   engine_opts=opts)
     if only in (0, 5) and not args.skip_pod:
         run_pooled_4096(2000 if s else 10_000, 100 if s else 1000,
                         64 if s else 4096, 10 if s else 30,
-                        n_outer=10 if s else 30, thin=2)
+                        n_outer=10 if s else 30, thin=2, engine_opts=opts)
 
 
 if __name__ == "__main__":

@@ -359,3 +359,27 @@ class TestZeroCollectives:
             "expected a collective in the obs-sharded engine's HLO; "
             "the zero-collective scan may be reading the wrong artifact"
         )
+
+
+def test_sharded_warmup_passes_completes(problem):
+    """Pass-bounded warmup over the mesh: fixed pass blocks per dispatch,
+    sweep_count carried across dispatches until every chain hits quota
+    (the pod-scale warmup mode wired into scripts/baseline_configs.py)."""
+    from mcmcglm_tpu.parallel import ShardedFreeRunCGGibbs
+
+    X, y, _ = problem
+    d = X.shape[1]
+    eng = ShardedFreeRunCGGibbs(
+        X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), d),
+        extra={"sd": 1.0}, tuning={"w": 0.5}, mesh=make_mesh(8, 1),
+    )
+    st = eng.init(jax.random.key(0), 16)
+    sc = None
+    for _ in range(1000):
+        st, sc = eng.warmup_passes(st, sc, 10, 40)
+        if (np.asarray(sc) >= 10).all():
+            break
+    else:
+        raise AssertionError("sharded warmup_passes never completed")
+    st, draws, _ = eng.run(st, 15)
+    assert np.isfinite(np.asarray(draws)).all()
