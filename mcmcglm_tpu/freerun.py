@@ -254,13 +254,24 @@ class FreeRunCGGibbs:
         #     that also gathers X^T rows in-kernel by DMA is blocked by
         #     Mosaic's tiling rule — single-row slices of an (8, 128)-tiled
         #     HBM array are rejected — see _battery2_fn.)
+        # "pallas3": the 3-stream pass — the X^T row gather moves INSIDE the
+        #     kernel.  Mosaic rejects single-row DMA from a (d, n) array
+        #     because dim 0 sits in the (8, 128) tiling pair, but reshaping
+        #     to (d, S, 128) moves the gathered dim out of the tiled pair:
+        #     a (1, S, 128) block selected by a scalar-prefetch index_map
+        #     (j per chain) is fully tile-aligned.  This removes BOTH the
+        #     XLA gather's read+write of xg and the kernel's re-read
+        #     (~5 -> ~3 (C, n) streams per pass: read eta, read X rows,
+        #     write eta).  State eta is carried in the (C, S, 128) layout so
+        #     no per-pass relayout is paid.
         # "auto": "pallas2" (falling back to "pallas", then "xla", when the
         #     chain count defeats the block layout) when spec_k > 1 and the
         #     constraints hold on an accelerator backend, else "xla".
-        if battery_impl not in ("auto", "xla", "pallas", "pallas2"):
+        #     ("pallas3" is opt-in until its TPU pass-rate win is recorded.)
+        if battery_impl not in ("auto", "xla", "pallas", "pallas2", "pallas3"):
             raise ValueError(
-                "battery_impl must be 'auto', 'xla', 'pallas' or 'pallas2', "
-                f"got {battery_impl!r}"
+                "battery_impl must be 'auto', 'xla', 'pallas', 'pallas2' or "
+                f"'pallas3', got {battery_impl!r}"
             )
         extras_scalar = all(
             jnp.ndim(v) == 0 for v in self.extra.values()
@@ -272,7 +283,7 @@ class FreeRunCGGibbs:
             and not user_reduce_fn  # default sum / obs_weights sum only
             and dtype == jnp.float32
         )
-        if battery_impl in ("pallas", "pallas2") and not pallas_ok:
+        if battery_impl in ("pallas", "pallas2", "pallas3") and not pallas_ok:
             raise ValueError(
                 f"battery_impl={battery_impl!r} requires spec_k > 1, "
                 "eval_cache='scalar', scalar extra args, no custom reduce_fn "
@@ -286,7 +297,8 @@ class FreeRunCGGibbs:
             )
         self.battery_impl = battery_impl
         self._battery_cache: dict = {}
-        if battery_impl in ("pallas", "pallas2"):
+        self._eta3 = None  # (S, L) when state eta is carried 3-D (pallas3)
+        if battery_impl in ("pallas", "pallas2", "pallas3"):
             # pad the observation axis once so every pass runs lane-aligned;
             # the padded weight/mask slots are zero, so padded observations
             # never contribute to any reduction.  Padded y is 1.0, NOT 0:
@@ -316,6 +328,24 @@ class FreeRunCGGibbs:
             # would capture (and leak) trace-local tracers in its cache
             self._y2 = self.y.reshape(1, n_pad)
             self._m2 = self._mask.reshape(1, n_pad)
+            if battery_impl == "pallas3":
+                # 3-D operand layout: observation axis n_pad -> (S, 128) so
+                # the per-chain X^T row gather becomes a tile-aligned
+                # (1, S, 128) block DMA (see _battery3_fn).  n_pad is a
+                # multiple of 256, so S = n_pad // 128 is integral.
+                L = 128
+                S = n_pad // L
+                # per-grid-step VMEM, double-buffered: eta (8, S, L) +
+                # 8 gathered rows + eta_new (8, S, L) = 24 (S, L) f32 tiles
+                if 2 * (24 * S * L) * 4 > 12 * 1024 * 1024:
+                    raise ValueError(
+                        f"battery_impl='pallas3' with n_pad={n_pad} exceeds "
+                        "the per-step VMEM budget; use 'pallas' (n-tiled)"
+                    )
+                self._eta3 = (S, L)
+                self._Xt3 = self.Xt.reshape(self.d, S, L)
+                self._y3 = self.y.reshape(1, S, L)
+                self._m3 = self._mask.reshape(1, S, L)
 
     # -- Pallas K-proposal battery evaluator --------------------------------
 
@@ -525,6 +555,142 @@ class FreeRunCGGibbs:
         self._battery_cache[key_] = fn
         return fn
 
+    def _battery3_fn(self, C: int):
+        """Build (and cache) the 3-stream battery: in-kernel X^T row gather
+        via scalar-prefetch index_map + fused eta commit.
+
+        The round-2 design was blocked by Mosaic's tiling rule — a
+        single-row slice of an (8, 128)-tiled (d, n) HBM array is rejected
+        ("slice shape along dimension 0 must be aligned to tiling (8)").
+        The rule binds only the LAST TWO dims, so X^T is laid out
+        (d, S, 128) with S = n_pad/128: a (1, S, 128) block chosen by the
+        per-chain coordinate index (scalar-prefetched j) is fully
+        tile-aligned and the gather costs exactly one read of the row —
+        no XLA gather write, no kernel re-read.  eta is carried in the
+        matching (C, S, 128) layout (relayout once at init, never per
+        pass).  Streams per pass: read eta + read X rows + write eta
+        (~3 (C, n)), vs ~5 for "pallas2" and ~6 for "pallas".
+
+        Grid is (C/BC,) with BC=8 chains per step (each chain contributes
+        its own (1, S, 128) gather in_spec, so one step amortises the
+        per-step DMA/bookkeeping latency over 8 chains — the BC=1 version
+        measured SLOWER than pallas2 despite 40% less traffic, ~0.8 us of
+        step overhead x C steps).  The (S, 128) per-chain tile keeps all 8
+        sublanes busy.  The first-acceptor decision is replayed in-kernel
+        exactly as in _battery2_fn; outputs (lsum (C, K),
+        eta_new (C, S, 128))."""
+        key_ = ("v3", C)
+        fn = self._battery_cache.get(key_)
+        if fn is not None:
+            return fn
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        K = self.spec_k
+        S, L = self._eta3
+        BC = 8 if C % 8 == 0 else 1
+        fam = self.family
+        extra = {k: float(v) for k, v in self.extra.items()}
+        y3 = self._y3
+        m3 = self._m3
+        Xt3 = self._Xt3
+
+        def kernel(j_ref, eta_ref, *rest):
+            xrows = rest[:BC]  # BC gathered X^T rows, DMA'd by index_map
+            (deltas_ref, fprior_ref, scal_ref, y_ref, m_ref,
+             lsum_ref, eta_new_ref) = rest[BC:]
+            yv = y_ref[0]
+            mv = m_ref[0]
+            for r in range(BC):
+                eta = eta_ref[r]  # (S, L)
+                xg = xrows[r][0]
+                deltas = deltas_ref[r]  # (1, K)
+
+                cols = []
+                for k in range(K):
+                    e = eta + xg * deltas[0:1, k:k + 1]
+                    ld = fam.log_density_eta(e, yv, extra)
+                    t = jnp.where(mv != 0, ld * mv, 0.0)
+                    s2 = jnp.sum(t, axis=0, keepdims=True)  # (1, L)
+                    cols.append(jnp.sum(s2, axis=1, keepdims=True))
+                lsum = jnp.concatenate(cols, axis=1)  # (1, K)
+                lsum_ref[r] = lsum
+
+                scal = scal_ref[r]  # (1, 4)
+                level = scal[:, 0:1]
+                ld0 = scal[:, 1:2]
+                gate = scal[:, 2:3]
+                rem = scal[:, 3:4]
+                f = (lsum - ld0) + fprior_ref[r]
+                kio = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(
+                    jnp.float32
+                )
+                accv = (f >= level) & (kio < rem)
+                firstf = jnp.min(jnp.where(accv, kio, jnp.float32(K)),
+                                 axis=1, keepdims=True)  # (1, 1)
+                any_acc = firstf < jnp.float32(K)
+                hit = kio == firstf
+                d_first = jnp.sum(jnp.where(hit, deltas, 0.0), axis=1,
+                                  keepdims=True)
+                delta_star = jnp.where((gate > 0.0) & any_acc, d_first, 0.0)
+                eta_new_ref[r] = eta + xg * delta_star
+
+        # Mosaic's block rule binds the LAST TWO dims of every block (each
+        # must be 8/128-divisible or equal the full dim): the 3-D layouts
+        # make every block legal — (1, S, L) gathers of (d, S, L) slice
+        # only the untiled dim 0, and the small per-chain operands ship as
+        # (C, 1, K) with (BC, 1, K) blocks.
+        def _xrow_spec(r):
+            return pl.BlockSpec(
+                (1, S, L), lambda i, j_ref, r=r: (j_ref[BC * i + r], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # j: (C,) int32 coordinate indices
+            grid=(C // BC,),
+            in_specs=[
+                pl.BlockSpec((BC, S, L), lambda i, j_ref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [_xrow_spec(r) for r in range(BC)] + [
+                pl.BlockSpec((BC, 1, K), lambda i, j_ref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BC, 1, K), lambda i, j_ref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BC, 1, 4), lambda i, j_ref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, L), lambda i, j_ref: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, L), lambda i, j_ref: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((BC, 1, K), lambda i, j_ref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BC, S, L), lambda i, j_ref: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((C, 1, K), jnp.float32),
+                jax.ShapeDtypeStruct((C, S, L), jnp.float32),
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )
+
+        def fn(j, eta, deltas, fprior, scal):
+            lsum, eta_new = call(
+                j, eta, *([Xt3] * BC), deltas[:, None, :],
+                fprior[:, None, :], scal[:, None, :], y3, m3,
+            )
+            return lsum[:, 0, :], eta_new
+
+        self._battery_cache[key_] = fn
+        return fn
+
     # -- coordinate initialisation (batched) ---------------------------------
 
     def _begin_coord(self, key, beta, logw, j, shrink_only: bool):
@@ -594,6 +760,10 @@ class FreeRunCGGibbs:
         ld0 = self.family.log_density_eta(eta, self.y, self.extra)
         if self.eval_cache == "scalar":
             ld0 = self.reduce_fn(ld0)
+        if self._eta3 is not None:
+            # pallas3 carries eta in the (C, S, 128) kernel layout: one
+            # relayout here, none per pass
+            eta = eta.reshape(C, *self._eta3)
         logw = jnp.full((C, self.d), jnp.log(jnp.asarray(self.w0, dtype)))
         reg = self._begin_coord(
             k_coord, beta, logw, jnp.zeros((C,), jnp.int32), shrink_only=False
@@ -808,13 +978,26 @@ class FreeRunCGGibbs:
         # _battery2_fn (odd chain count, VMEM overflow) drops to the n-tiled
         # one-read battery, whose grid over the observation axis fits any n;
         # a None from _battery_fn drops to the XLA broadcast path.
+        # (pallas3 has no C constraint — grid is (C,) — and its n budget is
+        # checked at construction, so it never falls back.)
+        battery3 = (
+            self._battery3_fn(C) if self.battery_impl == "pallas3" else None
+        )
         battery2 = (
             self._battery2_fn(C) if self.battery_impl == "pallas2" else None
         )
         battery = None
         if battery2 is None and self.battery_impl in ("pallas", "pallas2"):
             battery = self._battery_fn(C)
-        if battery2 is not None:
+        if battery3 is not None:
+            # 3-stream pass: in-kernel row gather + fused commit; no XLA
+            # gather at all (s.j is scalar-prefetched into the index_map)
+            scal = jnp.stack(
+                [s.level, s.ld0, (shrinking & active).astype(dtype),
+                 rem.astype(dtype)], axis=1)
+            lsum, eta_committed = battery3(s.j, s.eta, deltas, fprior, scal)
+            dll = lsum - s.ld0[:, None]
+        elif battery2 is not None:
             # fused pass: battery eval + in-kernel eta commit; the
             # decision below is replayed on the identical lsum values
             xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather

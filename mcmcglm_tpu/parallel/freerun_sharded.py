@@ -82,8 +82,13 @@ class ShardedFreeRunCGGibbs:
     # carries one key per shard on axis 0 instead.
     def _specs(self):
         s = P(CHAIN_AXIS)
+        # eta is (C, n) — or (C, S, 128) under the pallas3 battery layout
+        eta_spec = (
+            P(CHAIN_AXIS, None, None) if self.inner._eta3 is not None
+            else P(CHAIN_AXIS, None)
+        )
         return FreeRunState(
-            beta=P(CHAIN_AXIS, None), eta=P(CHAIN_AXIS, None),
+            beta=P(CHAIN_AXIS, None), eta=eta_spec,
             ld0=s if self.inner.eval_cache == "scalar" else P(CHAIN_AXIS, None),
             key=s, logw=P(CHAIN_AXIS, None),
             j=s, phase=s, stepdir=s, level=s, L=s, R=s, budL=s, budR=s,

@@ -44,7 +44,7 @@ def main():
             done += chunk
         jax.block_until_ready(draws)
         dt = time.perf_counter() - t0
-        evals = float(np.max(np.asarray(nev) - nev0))
+        evals = float(np.max(np.asarray(state.nev) - nev0))
         print(
             f"C={C:5d}: {sweeps/dt:7.3f} sweeps/s, "
             f"C*sweeps/s={C*sweeps/dt:9.1f}, "

@@ -57,7 +57,7 @@ def main():
     run_s = time.perf_counter() - t0
     # passes executed = max evals any lane needed (the while loop trip count)
     # approximate with mean evals + tail
-    evals = (np.asarray(nev) - nev0) / 1.0
+    evals = (np.asarray(state2.nev) - nev0) / 1.0
     mean_evals = float(np.mean(evals))
     # trip count is identical across lanes (single while loop): use max
     trips = float(np.max(evals))

@@ -1,8 +1,8 @@
 """Probe: freerun throughput across battery implementations on the
 north-star config (p=1000 logistic, C=256, warm, adapted widths).
 
-Args are VARIANT specs "K" or "K:impl" (impl in xla|pallas|pallas2),
-e.g.:  python scripts/spec2_probe.py 1 4:pallas 4:pallas2 6:pallas2
+Args are VARIANT specs "K" or "K:impl" (impl in xla|pallas|pallas2|pallas3),
+e.g.:  python scripts/spec2_probe.py 1 4:pallas 4:pallas2 4:pallas3
 """
 
 import os
@@ -57,7 +57,7 @@ def main():
         jax.block_until_ready(parts)
         dt = time.perf_counter() - t0
         alld = np.concatenate([np.asarray(p) for p in parts], axis=1)
-        evals = float(np.mean(np.asarray(nev) - nev0))
+        evals = float(np.mean(np.asarray(state.nev) - nev0))
         min_ess = float(np.min(ess(alld)))
         log(
             f"K={K} {impl:8s}: {sweeps/dt:7.3f} sweeps/s, "

@@ -49,7 +49,7 @@ def main():
         jax.block_until_ready(parts)
         dt = time.perf_counter() - t0
         alld = np.concatenate([np.asarray(p) for p in parts], axis=1)
-        evals = float(np.mean(np.asarray(nev) - nev0))
+        evals = float(np.mean(np.asarray(state.nev) - nev0))
         min_ess = float(np.min(ess(alld)))
         print(
             f"K={K}: {sweeps/dt:7.3f} sweeps/s, "

@@ -403,3 +403,55 @@ def test_warmup_passes_bitwise_matches_warmup():
         np.asarray(jax.random.key_data(st1.key)),
         np.asarray(jax.random.key_data(st2.key)),
     )
+
+
+class TestPallas3InKernelGather:
+    """The 3-stream battery: in-kernel X^T row gather via scalar-prefetch
+    index_map over the (d, S, 128) layout + fused eta commit (pallas3)."""
+
+    def test_pallas3_matches_xla_battery_in_law(self):
+        X, y, _ = generate_glm_data("binomial", n=500, d=6, seed=3)
+        pr = mg.IIDPrior(mg.Normal(0.0, 1.0), 6)
+        posts, rates = [], []
+        for impl in ("xla", "pallas3"):
+            fr = FreeRunCGGibbs(
+                X, y, "binomial", pr, tuning={"w": 0.5}, spec_k=4,
+                eval_cache="scalar", battery_impl=impl,
+            )
+            st = fr.init(jax.random.key(0), 16)
+            if impl == "pallas3":
+                # eta carried in the (C, S, 128) kernel layout
+                assert st.eta.shape == (16, 4, 128)
+            st, _, _ = fr.warmup(st, 60)
+            nev0 = np.asarray(st.nev).copy()
+            st, draws, nev = fr.run(st, 250)
+            posts.append(np.asarray(draws)[:, 60:, :].reshape(-1, 6))
+            rates.append((np.asarray(nev)[:, -1] - nev0).mean() / (250 * 6))
+        assert abs(rates[0] - rates[1]) / rates[0] < 0.06
+        assert np.abs(posts[0].mean(0) - posts[1].mean(0)).max() < 0.06
+        assert np.abs(posts[0].std(0) / posts[1].std(0) - 1.0).max() < 0.15
+
+    def test_pallas3_odd_chain_count_and_padding(self):
+        """grid=(C,) has no chain-count constraint (battery2 would reject
+        C=12); n=300 pads to 512 so the padded-slot masking is exercised."""
+        X, y, _ = generate_glm_data("binomial", n=300, d=5, seed=1)
+        fr = FreeRunCGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), 5),
+            tuning={"w": 0.5}, spec_k=4, eval_cache="scalar",
+            battery_impl="pallas3",
+        )
+        st = fr.init(jax.random.key(0), 12)
+        st, _, _ = fr.warmup(st, 30)
+        st, draws, _ = fr.run(st, 80)
+        assert np.isfinite(np.asarray(draws)).all()
+
+    def test_pallas3_n_budget_rejected_loudly(self):
+        n = 1_600_000  # n_pad * 8 * 4 bytes > 12 MB per-step budget
+        X = np.ones((n, 2), np.float32)
+        y = np.zeros(n, np.float32)
+        with pytest.raises(ValueError, match="pallas3.*budget"):
+            FreeRunCGGibbs(
+                X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), 2),
+                tuning={"w": 0.5}, spec_k=4, eval_cache="scalar",
+                battery_impl="pallas3",
+            )
