@@ -108,16 +108,16 @@ def main():
 
     # the freerun engine (freerun.py): lockstep-free automaton scheduling,
     # warmup-adapted widths, shrink-only sampling kernel — measured 391
-    # min-ESS/s vs ~150 for the scan/while XLA engine on v5e (C=256)
-    # spec_k=4: K-speculative proposal batteries through the one-read
-    # Pallas evaluator — measured 1.41x the spec_k=1 ESS/s within-session
-    # (scripts/spec_probe.py, 2026-08-21: 426.9 vs 303.7 min-ESS/s with
-    # battery_impl="pallas"; K=8 regresses to 1.28x).  The impl chain
-    # degrades gracefully: the remote-tunnel compile service in this
-    # environment intermittently wedges or 500s on Mosaic kernels, and the
-    # bench must still produce a number.
+    # min-ESS/s vs ~150 for the scan/while XLA engine on v5e (C=256).
+    # spec_k=4 + battery "auto" (pallas3): K-speculative proposal
+    # batteries with the in-kernel X^T row gather — the same-process
+    # interleaved A/B ladder measured pallas3 1.2-1.4x pallas2, which was
+    # itself ~2.0x the classic pass (results/round3_battery_probes.log).
+    # The impl chain degrades gracefully: the remote-tunnel compile
+    # service in this environment intermittently wedges or 500s on Mosaic
+    # kernels, and the bench must still produce a number.
     t0 = time.perf_counter()
-    for impls in (["auto"], ["pallas"], ["xla"], None):
+    for impls in (["auto"], ["pallas2"], ["pallas"], ["xla"], None):
         if impls is None:
             raise RuntimeError("all battery implementations failed")
         try:

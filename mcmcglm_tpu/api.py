@@ -110,8 +110,11 @@ def mcmcglm(
       schedule for heavy-tailed conditionals, ``{"adapt_c": 60.0}``,
       ``{"eval_cache": "per_obs"}``, ``{"spec_k": 1}`` to disable the
       K-speculative proposal batteries that the freerun path enables by
-      default on accelerators — spec_k=4 through the fused Pallas battery,
-      ~2.0x the classic pass, identical in law).  Ignored by other engines.
+      default on accelerators — spec_k=4 through the "pallas3" in-kernel-
+      gather battery (~3 (C, n) HBM streams/pass; measured 1.2-1.4x the
+      round-2 "pallas2" battery, which was ~2.0x the classic pass —
+      results/round3_battery_probes.log), identical in law).  Ignored by
+      other engines.
     - ``mesh`` — a ``jax.sharding.Mesh`` (see ``parallel.make_mesh``) to
       run multi-chip: the freerun engine shards chains (one independent
       automaton per device, zero collectives; chain-axis-only meshes);

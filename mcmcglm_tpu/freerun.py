@@ -264,10 +264,13 @@ class FreeRunCGGibbs:
         #     (~5 -> ~3 (C, n) streams per pass: read eta, read X rows,
         #     write eta).  State eta is carried in the (C, S, 128) layout so
         #     no per-pass relayout is paid.
-        # "auto": "pallas2" (falling back to "pallas", then "xla", when the
-        #     chain count defeats the block layout) when spec_k > 1 and the
-        #     constraints hold on an accelerator backend, else "xla".
-        #     ("pallas3" is opt-in until its TPU pass-rate win is recorded.)
+        # "auto": "pallas3" when spec_k > 1, the constraints hold, the
+        #     observation count fits its per-step VMEM budget and the
+        #     backend is an accelerator (measured 1.2-1.4x "pallas2" in
+        #     same-process interleaved A/B at K=4 on the north star —
+        #     results/round3_battery_probes.log); "pallas2" for larger n
+        #     (falling back to "pallas", then "xla", when the chain count
+        #     defeats its block layout); "xla" on CPU.
         if battery_impl not in ("auto", "xla", "pallas", "pallas2", "pallas3"):
             raise ValueError(
                 "battery_impl must be 'auto', 'xla', 'pallas', 'pallas2' or "
@@ -290,11 +293,13 @@ class FreeRunCGGibbs:
                 "and float32"
             )
         if battery_impl == "auto":
-            battery_impl = (
-                "pallas2"
-                if pallas_ok and jax.default_backend() != "cpu"
-                else "xla"
-            )
+            if pallas_ok and jax.default_backend() != "cpu":
+                bn_a = 2048 if self.n >= 2048 else 256
+                n_pad_a = -(-self.n // bn_a) * bn_a
+                fits3 = 2 * (24 * n_pad_a) * 4 <= 12 * 1024 * 1024
+                battery_impl = "pallas3" if fits3 else "pallas2"
+            else:
+                battery_impl = "xla"
         self.battery_impl = battery_impl
         self._battery_cache: dict = {}
         self._eta3 = None  # (S, L) when state eta is carried 3-D (pallas3)
