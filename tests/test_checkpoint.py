@@ -136,3 +136,42 @@ class TestFailureRecoveryShardedFreerun:
             np.asarray(mom_a.mean), np.asarray(mom_b.mean), rtol=1e-6
         )
         mgr.close()
+
+
+class TestFreeRunBatteryCheckpoint:
+    """Checkpoint round-trip with the speculative-battery engine, whose
+    state carries eta in the pallas3 (C, S, 128) kernel layout."""
+
+    def _make_engine(self):
+        rng = np.random.default_rng(4)
+        n, d = 300, 5
+        X = np.column_stack([np.ones(n), rng.normal(size=(n, d - 1))])
+        y = rng.binomial(1, 0.5, size=n).astype(np.float64)
+        from mcmcglm_tpu.freerun import FreeRunCGGibbs
+
+        return FreeRunCGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0, 1), d),
+            tuning={"w": 0.5}, spec_k=4, eval_cache="scalar",
+            battery_impl="pallas3",
+        )
+
+    def test_resume_bitwise(self, tmp_path):
+        eng = self._make_engine()
+        st0 = eng.init(jax.random.key(1), 8)
+        assert st0.eta.ndim == 3  # the pallas3 layout round-trips
+        st0, _, _ = eng.warmup(st0, 5)
+        st_a, da, _ = eng.run(st0, 4)
+
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(0, st0, np.zeros((1,)))
+        mgr.close()
+        eng2 = self._make_engine()
+        mgr2 = CheckpointManager(str(tmp_path / "ck"))
+        template = eng2.init(jax.random.key(1), 8)
+        _, st_r, _ = mgr2.restore(template)
+        st_b, db, _ = eng2.run(st_r, 4)
+        np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+        np.testing.assert_array_equal(
+            np.asarray(st_a.eta), np.asarray(st_b.eta)
+        )
+        mgr2.close()
