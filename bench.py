@@ -196,6 +196,13 @@ def main():
                 "slice_evals_per_sweep": round(float(np.mean(np.asarray(n_evals))), 2),
                 "baseline_proxy_sweeps_per_sec": round(np_rate, 4),
                 "baseline_proxy_ess_per_sec": round(baseline_ess_per_sec, 4),
+                "battery": getattr(eng, "battery_impl", None),
+                "note": (
+                    "remote-tunnel throughput drifts up to ~2x between "
+                    "sessions; same-process A/B ladders in "
+                    "results/round3_battery_probes.log are the "
+                    "tunnel-invariant comparisons"
+                ),
             }
         ),
         flush=True,

@@ -9,14 +9,21 @@ one-at-a-time kernel (the reference's qslice::slice_stepping_out schedule,
 /root/reference/R/mcmcglm.R:258-261) but with passes-per-coordinate dropping
 from the mean evaluation count (~2.8 at adapted widths) toward ~1.
 
-Two Pallas kernels make the battery pay on TPU (the XLA broadcast re-streams
-eta per proposal and forfeits the win):
+Three Pallas kernels make the battery pay on TPU (the XLA broadcast
+re-streams eta per proposal and forfeits the win):
 
   battery_impl="pallas"   one HBM read of eta + the gathered X^T row
                           evaluates all K proposals (measured 1.41x).
   battery_impl="pallas2"  additionally replays the acceptance decision
                           in-kernel and writes the committed eta
-                          (another 1.40x; the accelerator default).
+                          (another 1.40x).
+  battery_impl="pallas3"  moves the X^T row gather itself into the kernel
+                          (a (1, S, 128) block of the 3-D (d, S, 128)
+                          layout, chosen by a scalar-prefetched per-chain
+                          coordinate index): ~3 (C, n) HBM streams per
+                          pass; measured 1.2-1.4x pallas2 in same-process
+                          A/B — the accelerator default
+                          (results/round3_battery_probes.log).
 
 Run from the repo root (any backend; Pallas runs in interpret mode on CPU):
 

@@ -132,6 +132,13 @@ class FreeRunCGGibbs:
         battery_impl: str = "auto",
     ):
         self.family: Family = check_family(family)
+        # The engine only ever COMPARES log densities across eta values
+        # (slice level tests; the committed-state cache is differenced),
+        # so it evaluates the RELATIVE form: eta-independent per-obs
+        # constants dropped.  Exact (constants cancel), cheaper (no
+        # lgamma(y+1) streams), and required for Pallas batteries on
+        # poisson/negbin/gamma — Mosaic cannot lower lgamma at all.
+        self._ld_eta = self.family.log_density_eta_rel
         self.prior = prior
         self.dtype = dtype
         X = jnp.asarray(X, dtype)
@@ -205,7 +212,7 @@ class FreeRunCGGibbs:
             )
         if eval_cache == "auto":
             ld_at0 = np.asarray(
-                self.family.log_density_eta(
+                self._ld_eta(
                     jnp.zeros((self.n,), dtype), self.y, self.extra
                 )
             )
@@ -377,7 +384,7 @@ class FreeRunCGGibbs:
         BC = next((b for b in (128, 64, 32, 16, 8) if C % b == 0), None)
         if BC is None:
             return None  # odd chain counts: caller falls back to XLA
-        fam = self.family
+        ld_fn = self._ld_eta
         extra = {k: float(v) for k, v in self.extra.items()}
         y2 = self._y2
         m2 = self._m2
@@ -397,7 +404,7 @@ class FreeRunCGGibbs:
             cols = []
             for k in range(K):
                 e = eta + xg * deltas[:, k][:, None]
-                ld = fam.log_density_eta(e, yv, extra)
+                ld = ld_fn(e, yv, extra)
                 # selection, not multiplication: padded slots may hold NaN
                 cols.append(jnp.sum(jnp.where(mv != 0, ld * mv, 0.0),
                                     axis=1, keepdims=True))
@@ -475,7 +482,7 @@ class FreeRunCGGibbs:
         )
         if BC is None:
             return None  # odd chain counts / VMEM overflow: caller falls back
-        fam = self.family
+        ld_fn = self._ld_eta
         extra = {k: float(v) for k, v in self.extra.items()}
         y2 = self._y2
         m2 = self._m2
@@ -493,7 +500,7 @@ class FreeRunCGGibbs:
             cols = []
             for k in range(K):
                 e = eta + xgv * deltas[:, k][:, None]
-                ld = fam.log_density_eta(e, yv, extra)
+                ld = ld_fn(e, yv, extra)
                 cols.append(jnp.sum(jnp.where(mv != 0, ld * mv, 0.0),
                                     axis=1, keepdims=True))
             lsum = jnp.concatenate(cols, axis=1)  # (BC, K)
@@ -594,7 +601,7 @@ class FreeRunCGGibbs:
         K = self.spec_k
         S, L = self._eta3
         BC = 8 if C % 8 == 0 else 1
-        fam = self.family
+        ld_fn = self._ld_eta
         extra = {k: float(v) for k, v in self.extra.items()}
         y3 = self._y3
         m3 = self._m3
@@ -614,7 +621,7 @@ class FreeRunCGGibbs:
                 cols = []
                 for k in range(K):
                     e = eta + xg * deltas[0:1, k:k + 1]
-                    ld = fam.log_density_eta(e, yv, extra)
+                    ld = ld_fn(e, yv, extra)
                     t = jnp.where(mv != 0, ld * mv, 0.0)
                     s2 = jnp.sum(t, axis=0, keepdims=True)  # (1, L)
                     cols.append(jnp.sum(s2, axis=1, keepdims=True))
@@ -762,7 +769,7 @@ class FreeRunCGGibbs:
         eta = jax.vmap(lambda b: matvec(b, self.Xt))(beta)
         if self.offset is not None:
             eta = eta + self.offset[None, :]
-        ld0 = self.family.log_density_eta(eta, self.y, self.extra)
+        ld0 = self._ld_eta(eta, self.y, self.extra)
         if self.eval_cache == "scalar":
             ld0 = self.reduce_fn(ld0)
         if self._eta3 is not None:
@@ -797,7 +804,7 @@ class FreeRunCGGibbs:
         xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
         delta = s.xprop - s.b0
         e = s.eta + xg * delta[:, None]
-        ld_e = self.family.log_density_eta(e, self.y, self.extra)
+        ld_e = self._ld_eta(e, self.y, self.extra)
         if self.eval_cache == "scalar":
             lsum_e = self.reduce_fn(ld_e)
             dll = lsum_e - s.ld0
@@ -1018,7 +1025,7 @@ class FreeRunCGGibbs:
         else:
             xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
             e = s.eta[:, None, :] + xg[:, None, :] * deltas[:, :, None]
-            ld_e = self.family.log_density_eta(e, self.y, self.extra)  # (C, K, n)
+            ld_e = self._ld_eta(e, self.y, self.extra)  # (C, K, n)
             if self.eval_cache == "scalar":
                 dll = self.reduce_fn(ld_e) - s.ld0[:, None]
             else:
@@ -1083,7 +1090,7 @@ class FreeRunCGGibbs:
             # path stays exact but pays one extra transcendental stream.
             ld0 = jnp.where(
                 accept_move[:, None],
-                self.family.log_density_eta(eta, self.y, self.extra),
+                self._ld_eta(eta, self.y, self.extra),
                 s.ld0,
             )
         beta = s.beta.at[rows, s.j].set(b_star)

@@ -71,6 +71,16 @@ class Family:
     log_density: Callable[[jax.Array, jax.Array, Mapping[str, jax.Array]], jax.Array]
     # Optional fused eta->logdensity fast paths, keyed by link name.
     _eta_paths: Mapping[str, Callable] = dataclasses.field(default_factory=dict)
+    # Optional RELATIVE log densities — equal to the absolute ones up to a
+    # per-observation constant that does not depend on eta.  Samplers that
+    # only ever compare log densities at different eta (slice comparisons,
+    # MH ratios) can use these: the constants cancel exactly.  Two wins:
+    # terms like lgamma(y + 1) are (a) the most expensive transcendentals
+    # in the density and (b) NOT lowerable by Mosaic inside Pallas TPU
+    # kernels ("Unimplemented primitive ... lgamma"), so the relative form
+    # is what makes poisson/negbin/gamma batteries possible at all.
+    _eta_rel_paths: Mapping[str, Callable] = dataclasses.field(default_factory=dict)
+    log_density_rel: Optional[Callable] = None  # mu-parametrised relative form
 
     @property
     def linkinv(self) -> Callable[[jax.Array], jax.Array]:
@@ -92,6 +102,23 @@ class Family:
         if fused is not None:
             return fused(eta, y, extra)
         return self.log_density(self.link.linkinv(eta), y, extra)
+
+    def log_density_eta_rel(self, eta, y, extra=None):
+        """Per-observation log density as a function of eta, UP TO an
+        eta-independent additive constant per observation.
+
+        Exact for any use that only ever DIFFERENCES log densities across
+        eta values (slice-sampling comparisons: the committed-state cache
+        and every proposal share the constants, which cancel).  Falls back
+        to the absolute form when no relative path is registered — always
+        correct, possibly slower / not Pallas-lowerable."""
+        extra = dict(extra or {})
+        rel = self._eta_rel_paths.get(self.link.name)
+        if rel is not None:
+            return rel(eta, y, extra)
+        if self.log_density_rel is not None:
+            return self.log_density_rel(self.link.linkinv(eta), y, extra)
+        return self.log_density_eta(eta, y, extra)
 
     def log_likelihood(self, mu, y, extra=None):
         """Sum of log densities over observations (R/glm_utils.R:93-99)."""
@@ -143,12 +170,21 @@ def _gaussian_logpdf(mu, y, extra):
     return -0.5 * z * z - jnp.log(sd) - 0.5 * jnp.asarray(_LOG_2PI, jnp.result_type(mu))
 
 
+def _gaussian_rel(mu, y, extra):
+    # drop -log(sd) - 0.5*log(2*pi): eta-independent per observation
+    sd = jnp.asarray(extra.get("sd", 1.0), dtype=jnp.result_type(mu))
+    z = (y - mu) / sd
+    return -0.5 * z * z
+
+
 def gaussian(link="identity") -> Family:
     return Family(
         name="gaussian",
         link=get_link(link),
         log_density=_gaussian_logpdf,
         _eta_paths={"identity": lambda eta, y, extra: _gaussian_logpdf(eta, y, extra)},
+        _eta_rel_paths={"identity": lambda eta, y, extra: _gaussian_rel(eta, y, extra)},
+        log_density_rel=_gaussian_rel,
     )
 
 
@@ -192,6 +228,11 @@ def binomial(link="logit") -> Family:
             "probit": _bernoulli_probit_eta,
             "cloglog": _bernoulli_cloglog_eta,
         },
+        # Bernoulli log densities have no eta-independent terms to drop
+        _eta_rel_paths={
+            "logit": _bernoulli_logit_eta,
+            "cloglog": _bernoulli_cloglog_eta,
+        },
     )
 
 
@@ -210,12 +251,25 @@ def _poisson_log_eta(eta, y, extra):
     return y * eta - jnp.exp(eta) - jax.lax.lgamma(y + 1.0)
 
 
+def _poisson_log_eta_rel(eta, y, extra):
+    # drop lgamma(y + 1): eta-independent (and not Mosaic-lowerable)
+    return y * eta - jnp.exp(eta)
+
+
+def _poisson_rel(mu, y, extra):
+    eps = jnp.finfo(jnp.result_type(mu)).tiny
+    mu = jnp.maximum(mu, eps)
+    return y * jnp.log(mu) - mu
+
+
 def poisson(link="log") -> Family:
     return Family(
         name="poisson",
         link=get_link(link),
         log_density=_poisson_logpdf,
         _eta_paths={"log": _poisson_log_eta},
+        _eta_rel_paths={"log": _poisson_log_eta_rel},
+        log_density_rel=_poisson_rel,
     )
 
 
@@ -251,12 +305,29 @@ def _negbin_log_eta(eta, y, extra):
     )
 
 
+def _negbin_log_eta_rel(eta, y, extra):
+    # drop lgamma(y+r) - lgamma(r) - lgamma(y+1): all eta-independent
+    r = jnp.asarray(extra.get("size", 1.0), dtype=jnp.result_type(eta))
+    log_r = jnp.log(r)
+    log_r_plus_mu = log_r + jax.nn.softplus(eta - log_r)
+    return r * (log_r - log_r_plus_mu) + y * (eta - log_r_plus_mu)
+
+
+def _negbin_rel(mu, y, extra):
+    r = jnp.asarray(extra.get("size", 1.0), dtype=jnp.result_type(mu))
+    eps = jnp.finfo(jnp.result_type(mu)).tiny
+    mu = jnp.maximum(mu, eps)
+    return r * (jnp.log(r) - jnp.log(r + mu)) + y * (jnp.log(mu) - jnp.log(r + mu))
+
+
 def negative_binomial(link="log") -> Family:
     return Family(
         name="negative.binomial",
         link=get_link(link),
         log_density=_negbin_logpdf,
         _eta_paths={"log": _negbin_log_eta},
+        _eta_rel_paths={"log": _negbin_log_eta_rel},
+        log_density_rel=_negbin_rel,
     )
 
 
@@ -292,12 +363,29 @@ def _gamma_log_eta(eta, y, extra):
     )
 
 
+def _gamma_log_eta_rel(eta, y, extra):
+    # drop k*log(k) + (k-1)*log(y) - lgamma(k): eta-independent
+    dtype = jnp.result_type(eta)
+    k = jnp.asarray(extra.get("shape", 1.0), dtype)
+    return -k * eta - k * y * jnp.exp(-eta)
+
+
+def _gamma_rel(mu, y, extra):
+    dtype = jnp.result_type(mu)
+    k = jnp.asarray(extra.get("shape", 1.0), dtype)
+    eps = jnp.finfo(dtype).tiny
+    mu = jnp.maximum(mu, eps)
+    return -k * jnp.log(mu) - k * y / mu
+
+
 def gamma(link="inverse") -> Family:
     return Family(
         name="Gamma",
         link=get_link(link),
         log_density=_gamma_logpdf,
         _eta_paths={"log": _gamma_log_eta},
+        _eta_rel_paths={"log": _gamma_log_eta_rel},
+        log_density_rel=_gamma_rel,
     )
 
 
@@ -322,11 +410,24 @@ def _invgauss_logpdf(mu, y, extra):
     )
 
 
+def _invgauss_rel(mu, y, extra):
+    # drop -0.5*(log(phi) + log(2*pi) + 3*log(y)): eta-independent
+    dtype = jnp.result_type(mu)
+    if "shape" in extra and "dispersion" not in extra:
+        phi = 1.0 / jnp.asarray(extra["shape"], dtype)
+    else:
+        phi = jnp.asarray(extra.get("dispersion", 1.0), dtype)
+    eps = jnp.finfo(dtype).tiny
+    mu = jnp.maximum(mu, eps)
+    return -((y - mu) ** 2) / (2.0 * y * phi * mu * mu)
+
+
 def inverse_gaussian(link="1/mu^2") -> Family:
     return Family(
         name="inverse.gaussian",
         link=get_link(link),
         log_density=_invgauss_logpdf,
+        log_density_rel=_invgauss_rel,
     )
 
 

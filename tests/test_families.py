@@ -167,3 +167,62 @@ class TestCheckFamily:
     def test_unknown(self):
         with pytest.raises(ValueError, match="not recognized"):
             check_family("weird")
+
+
+class TestRelativeLogDensities:
+    """log_density_eta_rel must equal log_density_eta up to a per-
+    observation constant that does not depend on eta — i.e. DIFFERENCES
+    across eta values agree exactly (the only thing the samplers use).
+    The rel forms drop lgamma/log(y) terms, which is what makes
+    poisson/negbin/gamma Pallas batteries lowerable (Mosaic has no
+    lgamma) and cheaper everywhere."""
+
+    CASES = [
+        ("gaussian", "identity", {"sd": 1.3}, "gaussian"),
+        ("binomial", "logit", {}, "binomial"),
+        ("binomial", "cloglog", {}, "binomial"),
+        ("poisson", "log", {}, "poisson"),
+        ("negative.binomial", "log", {"size": 2.0}, "negbin"),
+        ("Gamma", "log", {"shape": 2.0}, "gamma"),
+        ("inverse.gaussian", "log", {"dispersion": 0.5}, "invgauss"),
+    ]
+
+    @pytest.mark.parametrize("fam_name,link,extra,resp", CASES)
+    def test_differences_match_absolute(self, fam_name, link, extra, resp):
+        from mcmcglm_tpu.models.families import check_family
+
+        fam = check_family(fam_name).with_link(link)
+        rng = np.random.default_rng(0)
+        n = 64
+        y = {
+            "gaussian": rng.normal(size=n),
+            "binomial": rng.binomial(1, 0.5, n).astype(float),
+            "poisson": rng.poisson(2.0, n).astype(float),
+            "negbin": rng.poisson(2.0, n).astype(float),
+            "gamma": rng.gamma(2.0, 1.0, n),
+            "invgauss": rng.wald(1.0, 2.0, n),
+        }[resp]
+        eta1 = jnp.asarray(rng.normal(size=n) * 0.5)
+        eta2 = jnp.asarray(rng.normal(size=n) * 0.5)
+        d_abs = np.asarray(
+            fam.log_density_eta(eta1, y, extra) - fam.log_density_eta(eta2, y, extra)
+        )
+        d_rel = np.asarray(
+            fam.log_density_eta_rel(eta1, y, extra)
+            - fam.log_density_eta_rel(eta2, y, extra)
+        )
+        np.testing.assert_allclose(d_rel, d_abs, rtol=1e-10, atol=1e-10)
+
+    def test_rel_falls_back_to_absolute(self):
+        """A family with no rel registration returns the absolute form."""
+        from mcmcglm_tpu.models.families import Family
+        from mcmcglm_tpu.models.links import get_link
+
+        f = Family(name="custom", link=get_link("identity"),
+                   log_density=lambda mu, y, e: -0.5 * (y - mu) ** 2)
+        y = np.ones(4)
+        eta = jnp.zeros(4)
+        np.testing.assert_array_equal(
+            np.asarray(f.log_density_eta_rel(eta, y)),
+            np.asarray(f.log_density_eta(eta, y)),
+        )

@@ -455,3 +455,26 @@ class TestPallas3InKernelGather:
                 tuning={"w": 0.5}, spec_k=4, eval_cache="scalar",
                 battery_impl="pallas3",
             )
+
+
+def test_poisson_battery_matches_xla_in_law():
+    """Poisson through the Pallas battery (possible only via the relative
+    log density — Mosaic cannot lower lgamma(y+1)); eval counts and
+    posterior must match the XLA battery."""
+    X, y, _ = generate_glm_data("poisson", n=500, d=5, seed=2)
+    pr = mg.IIDPrior(mg.Normal(0.0, 1.0), 5)
+    posts, rates = [], []
+    for impl in ("xla", "pallas3"):
+        fr = FreeRunCGGibbs(
+            X, y, "poisson", pr, tuning={"w": 0.3}, spec_k=4,
+            eval_cache="scalar", battery_impl=impl,
+        )
+        st = fr.init(jax.random.key(0), 16)
+        st, _, _ = fr.warmup(st, 60)
+        nev0 = np.asarray(st.nev).copy()
+        st, draws, nev = fr.run(st, 250)
+        posts.append(np.asarray(draws)[:, 60:, :].reshape(-1, 5))
+        rates.append((np.asarray(nev)[:, -1] - nev0).mean() / (250 * 5))
+    assert abs(rates[0] - rates[1]) / rates[0] < 0.06
+    assert np.abs(posts[0].mean(0) - posts[1].mean(0)).max() < 0.06
+    assert np.abs(posts[0].std(0) / posts[1].std(0) - 1.0).max() < 0.15
