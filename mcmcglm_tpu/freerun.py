@@ -1001,14 +1001,16 @@ class FreeRunCGGibbs:
         battery = None
         if battery2 is None and self.battery_impl in ("pallas", "pallas2"):
             battery = self._battery_fn(C)
+        lsum_abs = None  # fresh scalar sums, kept for the cache refresh
         if battery3 is not None:
             # 3-stream pass: in-kernel row gather + fused commit; no XLA
             # gather at all (s.j is scalar-prefetched into the index_map)
             scal = jnp.stack(
                 [s.level, s.ld0, (shrinking & active).astype(dtype),
                  rem.astype(dtype)], axis=1)
-            lsum, eta_committed = battery3(s.j, s.eta, deltas, fprior, scal)
-            dll = lsum - s.ld0[:, None]
+            lsum_abs, eta_committed = battery3(s.j, s.eta, deltas, fprior,
+                                               scal)
+            dll = lsum_abs - s.ld0[:, None]
         elif battery2 is not None:
             # fused pass: battery eval + in-kernel eta commit; the
             # decision below is replayed on the identical lsum values
@@ -1016,18 +1018,21 @@ class FreeRunCGGibbs:
             scal = jnp.stack(
                 [s.level, s.ld0, (shrinking & active).astype(dtype),
                  rem.astype(dtype)], axis=1)
-            lsum, eta_committed = battery2(s.eta, xg, deltas, fprior, scal)
-            dll = lsum - s.ld0[:, None]
+            lsum_abs, eta_committed = battery2(s.eta, xg, deltas, fprior,
+                                               scal)
+            dll = lsum_abs - s.ld0[:, None]
         elif battery is not None:
             # one-read Pallas battery: (C, K) masked log-lik sums directly
             xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
-            dll = battery(s.eta, xg, deltas) - s.ld0[:, None]
+            lsum_abs = battery(s.eta, xg, deltas)
+            dll = lsum_abs - s.ld0[:, None]
         else:
             xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
             e = s.eta[:, None, :] + xg[:, None, :] * deltas[:, :, None]
             ld_e = self._ld_eta(e, self.y, self.extra)  # (C, K, n)
             if self.eval_cache == "scalar":
-                dll = self.reduce_fn(ld_e) - s.ld0[:, None]
+                lsum_abs = self.reduce_fn(ld_e)
+                dll = lsum_abs - s.ld0[:, None]
             else:
                 dll = self.reduce_fn(ld_e - s.ld0[:, None, :])
         f = dll + fprior  # (C, K)
@@ -1081,8 +1086,17 @@ class FreeRunCGGibbs:
         else:
             eta = s.eta + xg * delta_star[:, None]
         if self.eval_cache == "scalar":
-            dll_star = jnp.take_along_axis(dll, idx[:, None], 1)[:, 0]
-            ld0 = jnp.where(accept_move, s.ld0 + dll_star, s.ld0)
+            # refresh the cache with the accepted proposal's FRESH sum, not
+            # the accumulated s.ld0 + dll_star: the accumulated form lets
+            # f32 error random-walk per chain over thousands of commits,
+            # which biases every subsequent slice test by a persistent
+            # per-chain epsilon — observed on TPU as per-chain intercept
+            # offsets (config #3: pooled intercept ESS plateaued at ~2.2k
+            # across 100/200/300-sweep windows with lag-1 autocorr ~0.1,
+            # the signature of between-chain mean variance).  The classic
+            # _pass always stored the fresh sum; this restores parity.
+            lsum_star = jnp.take_along_axis(lsum_abs, idx[:, None], 1)[:, 0]
+            ld0 = jnp.where(accept_move, lsum_star, s.ld0)
         else:
             # per-observation cache: recompute at the committed eta (the
             # battery's (C, K, n) densities are reduction-fused, never

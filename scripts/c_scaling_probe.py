@@ -22,11 +22,13 @@ from mcmcglm_tpu.freerun import FreeRunCGGibbs
 def main():
     cs = [int(a) for a in sys.argv[1:]] or [128, 256, 512, 1024]
     n, d = 10_000, 1000
+    spec = {} if jax.default_backend() == "cpu" else \
+        {"spec_k": 4, "battery_impl": "auto"}
     X, y, _ = generate_glm_data("binomial", n=n, d=d, seed=0)
     for C in cs:
         eng = FreeRunCGGibbs(
             X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d),
-            tuning={"w": 0.5},
+            tuning={"w": 0.5}, **spec,
         )
         state = eng.init(jax.random.key(0), C)
         state, _, _ = eng.warmup(state, 15)
