@@ -124,7 +124,7 @@ class FreeRunCGGibbs:
         max_stepouts: int = 128,
         max_shrink: int = 64,
         shrink_only: bool = True,
-        adapt_c: float = 40.0,
+        adapt_c: Optional[float] = None,
         dtype=jnp.float32,
         eval_cache: str = "auto",
         offset=None,
@@ -189,10 +189,13 @@ class FreeRunCGGibbs:
         # shrink-only): c=3 -> 1.3 evals/coord but ESS/draw ~0.1;
         # c=40 -> 3.1 evals/coord with ESS/draw ~0.7 and the best ESS/s
         # (391 min-ESS/s vs 363 for full stepping-out at 4.9 evals/coord);
-        # c>=60 is flat.  A ~13-sigma interval contains the whole slice, so
-        # generous widths recover stepping-out's mixing at ~60% of its
-        # evaluation cost.
-        self.adapt_c = float(adapt_c)
+        # c>=60 is flat at spec_k=1.  With a K=4 battery the frontier
+        # MOVES: extra evaluations ride in the same fused pass, so c=80
+        # costs ~0 sweeps/s while ESS/draw rises ~10% (same-window probe
+        # pair, results/round3_battery_probes.log session 7); c=120
+        # overshoots (evals/coord > K forces second passes).  Default:
+        # None -> 80 when a Pallas battery is active, else 40.
+        self._adapt_c_arg = adapt_c  # resolved after battery_impl below
         # eval_cache: how the committed-state log likelihood is cached for
         # the relative slice comparison f = logL(prop) - logL(current).
         #   "per_obs": cache per-observation log densities (C, n); reduce
@@ -308,6 +311,11 @@ class FreeRunCGGibbs:
             else:
                 battery_impl = "xla"
         self.battery_impl = battery_impl
+        self.adapt_c = float(
+            self._adapt_c_arg if self._adapt_c_arg is not None
+            else (80.0 if battery_impl in ("pallas", "pallas2", "pallas3")
+                  else 40.0)
+        )
         self._battery_cache: dict = {}
         self._eta3 = None  # (S, L) when state eta is carried 3-D (pallas3)
         if battery_impl in ("pallas", "pallas2", "pallas3"):

@@ -231,7 +231,7 @@ class TestPallas2FusedCommit:
         for impl in ("xla", "pallas2"):
             fr = FreeRunCGGibbs(
                 X, y, "binomial", pr, tuning={"w": 0.5}, spec_k=4,
-                eval_cache="scalar", battery_impl=impl,
+                eval_cache="scalar", battery_impl=impl, adapt_c=40.0,
             )
             st = fr.init(jax.random.key(0), 16)
             st, _, _ = fr.warmup(st, 60)
@@ -295,7 +295,7 @@ class TestBatteryPaddingSafety:
             fr = FreeRunCGGibbs(
                 X, y, gamma("log"), mg.IIDPrior(mg.Normal(0.0, 2.0), d),
                 extra={"shape": 2.0}, tuning={"w": 0.5}, spec_k=4,
-                eval_cache="scalar", battery_impl=impl,
+                eval_cache="scalar", battery_impl=impl, adapt_c=40.0,
             )
             st = fr.init(jax.random.key(3), 16)
             st, _, _ = fr.warmup(st, 60)
@@ -416,7 +416,7 @@ class TestPallas3InKernelGather:
         for impl in ("xla", "pallas3"):
             fr = FreeRunCGGibbs(
                 X, y, "binomial", pr, tuning={"w": 0.5}, spec_k=4,
-                eval_cache="scalar", battery_impl=impl,
+                eval_cache="scalar", battery_impl=impl, adapt_c=40.0,
             )
             st = fr.init(jax.random.key(0), 16)
             if impl == "pallas3":
@@ -467,7 +467,7 @@ def test_poisson_battery_matches_xla_in_law():
     for impl in ("xla", "pallas3"):
         fr = FreeRunCGGibbs(
             X, y, "poisson", pr, tuning={"w": 0.3}, spec_k=4,
-            eval_cache="scalar", battery_impl=impl,
+            eval_cache="scalar", battery_impl=impl, adapt_c=40.0,
         )
         st = fr.init(jax.random.key(0), 16)
         st, _, _ = fr.warmup(st, 60)
