@@ -302,7 +302,8 @@ class FreeRunCGGibbs:
                 "eval_cache='scalar', scalar extra args, no custom reduce_fn "
                 "and float32"
             )
-        if battery_impl == "auto":
+        battery_auto = battery_impl == "auto"
+        if battery_auto:
             if pallas_ok and jax.default_backend() != "cpu":
                 bn_a = 2048 if self.n >= 2048 else 256
                 n_pad_a = -(-self.n // bn_a) * bn_a
@@ -311,11 +312,6 @@ class FreeRunCGGibbs:
             else:
                 battery_impl = "xla"
         self.battery_impl = battery_impl
-        self.adapt_c = float(
-            self._adapt_c_arg if self._adapt_c_arg is not None
-            else (80.0 if battery_impl in ("pallas", "pallas2", "pallas3")
-                  else 40.0)
-        )
         self._battery_cache: dict = {}
         self._eta3 = None  # (S, L) when state eta is carried 3-D (pallas3)
         if battery_impl in ("pallas", "pallas2", "pallas3"):
@@ -366,6 +362,78 @@ class FreeRunCGGibbs:
                 self._Xt3 = self.Xt.reshape(self.d, S, L)
                 self._y3 = self.y.reshape(1, S, L)
                 self._m3 = self._mask.reshape(1, S, L)
+        if (
+            battery_auto
+            and self.battery_impl in ("pallas", "pallas2", "pallas3")
+            and not self._battery_lowerable()
+        ):
+            # a family whose log density uses a primitive Mosaic cannot
+            # lower (erf for probit links, arbitrary user-registered
+            # densities, ...) would crash at first trace: the auto
+            # selection probes lowerability up front (a compile-free
+            # eval_shape of the kernel) and quietly drops to the XLA
+            # battery.  Explicitly requested Pallas impls still fail
+            # loudly at first use — the user asked for that kernel.
+            self.battery_impl = "xla"
+            self._eta3 = None  # 2-D eta layout for the XLA pass
+        # adapt_c resolves AFTER the lowerability gate: the c=80 frontier
+        # only pays when extra evaluations ride in a fused battery pass
+        self.adapt_c = float(
+            self._adapt_c_arg if self._adapt_c_arg is not None
+            else (80.0 if self.battery_impl in
+                  ("pallas", "pallas2", "pallas3") else 40.0)
+        )
+
+    def _battery_lowerable(self) -> bool:
+        """Compile-free probe of whether the selected Pallas battery's
+        kernel can lower on this backend.
+
+        Mosaic rejects some primitives outright during lowering
+        (observed: lgamma, erf, expm1 — "Unimplemented primitive in
+        Pallas TPU lowering"), so ``jax.jit(fn).lower(...)`` of a tiny
+        battery call surfaces the failure client-side without invoking
+        the backend compiler.  Used by the "auto" battery selection; CPU
+        (interpret mode) accepts everything."""
+        if jax.default_backend() == "cpu":
+            return True
+        C, K = 8, self.spec_k
+        f32 = jnp.float32
+        n_pad = int(np.prod(self.Xt.shape[1:]))
+        try:
+            if self.battery_impl == "pallas3":
+                fn = self._battery3_fn(C)
+                S, L = self._eta3
+                args = (
+                    jax.ShapeDtypeStruct((C,), jnp.int32),
+                    jax.ShapeDtypeStruct((C, S, L), f32),
+                    jax.ShapeDtypeStruct((C, K), f32),
+                    jax.ShapeDtypeStruct((C, K), f32),
+                    jax.ShapeDtypeStruct((C, 4), f32),
+                )
+            elif self.battery_impl == "pallas2":
+                fn = self._battery2_fn(C)
+                args = (
+                    jax.ShapeDtypeStruct((C, n_pad), f32),
+                    jax.ShapeDtypeStruct((C, n_pad), f32),
+                    jax.ShapeDtypeStruct((C, K), f32),
+                    jax.ShapeDtypeStruct((C, K), f32),
+                    jax.ShapeDtypeStruct((C, 4), f32),
+                )
+            else:
+                fn = self._battery_fn(C)
+                args = (
+                    jax.ShapeDtypeStruct((C, n_pad), f32),
+                    jax.ShapeDtypeStruct((C, n_pad), f32),
+                    jax.ShapeDtypeStruct((C, K), f32),
+                )
+            if fn is None:
+                return True  # per-C fallback chain decides at run time
+            jax.jit(fn).lower(*args)
+            return True
+        except NotImplementedError:
+            return False
+        finally:
+            self._battery_cache.clear()  # drop the C=8 probe builds
 
     # -- Pallas K-proposal battery evaluator --------------------------------
 

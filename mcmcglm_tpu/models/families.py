@@ -212,9 +212,18 @@ def _bernoulli_probit_eta(eta, y, extra):
 
 
 def _bernoulli_cloglog_eta(eta, y, extra):
-    # mu = 1 - exp(-exp(eta)): log(1-mu) = -exp(eta); log(mu) = log(-expm1(-exp(eta)))
+    # mu = 1 - exp(-exp(eta)): log(1-mu) = -exp(eta); log(mu) = log(1 - exp(-ex)).
+    # Spelled WITHOUT expm1/log1p (Mosaic lowers neither inside Pallas TPU
+    # kernels): direct form for ex > 1e-3; the series log(ex) - ex/2 +
+    # O(ex^2) = eta - ex/2 below, where the direct f32 form loses precision.
+    dtype = jnp.result_type(eta)
     ex = jnp.exp(eta)
-    log_mu = jnp.log(-jnp.expm1(-ex))
+    tiny = jnp.finfo(dtype).tiny
+    log_mu = jnp.where(
+        ex > 1e-3,
+        jnp.log(jnp.maximum(1.0 - jnp.exp(-ex), tiny)),
+        eta - 0.5 * ex,
+    )
     return jnp.where(y > 0.5, log_mu, -ex)
 
 
