@@ -189,12 +189,15 @@ class FreeRunCGGibbs:
         # shrink-only): c=3 -> 1.3 evals/coord but ESS/draw ~0.1;
         # c=40 -> 3.1 evals/coord with ESS/draw ~0.7 and the best ESS/s
         # (391 min-ESS/s vs 363 for full stepping-out at 4.9 evals/coord);
-        # c>=60 is flat at spec_k=1.  With a K=4 battery the frontier
-        # MOVES: extra evaluations ride in the same fused pass, so c=80
-        # costs ~0 sweeps/s while ESS/draw rises ~10% (same-window probe
-        # pair, results/round3_battery_probes.log session 7); c=120
-        # overshoots (evals/coord > K forces second passes).  Default:
-        # None -> 80 when a Pallas battery is active, else 40.
+        # c>=60 is flat at spec_k=1.  With a K=4 battery wider widths are
+        # cheaper (extra evaluations can ride in the same fused pass) and
+        # one same-window pair measured c=80 as free (+10% ESS/s,
+        # results/round3_battery_probes.log session 7), but two later
+        # same-process bracketed probes (sessions 8-9) measured c=80 at
+        # 0.84x the sweeps/s with the ESS/draw gain only partially
+        # compensating — the frontier is window-dependent on this
+        # hardware, so the default stays at the robust c=40; pass
+        # adapt_c=80 explicitly to trade pass cost for per-draw mixing.
         self._adapt_c_arg = adapt_c  # resolved after battery_impl below
         # eval_cache: how the committed-state log likelihood is cached for
         # the relative slice comparison f = logL(prop) - logL(current).
@@ -376,12 +379,8 @@ class FreeRunCGGibbs:
             # loudly at first use — the user asked for that kernel.
             self.battery_impl = "xla"
             self._eta3 = None  # 2-D eta layout for the XLA pass
-        # adapt_c resolves AFTER the lowerability gate: the c=80 frontier
-        # only pays when extra evaluations ride in a fused battery pass
         self.adapt_c = float(
-            self._adapt_c_arg if self._adapt_c_arg is not None
-            else (80.0 if self.battery_impl in
-                  ("pallas", "pallas2", "pallas3") else 40.0)
+            self._adapt_c_arg if self._adapt_c_arg is not None else 40.0
         )
 
     def _battery_lowerable(self) -> bool:
