@@ -111,8 +111,9 @@ def mcmcglm(
       ``{"eval_cache": "per_obs"}``, ``{"spec_k": 1}`` to disable the
       K-speculative proposal batteries that the freerun path enables by
       default on accelerators — spec_k=4 through the "pallas3" in-kernel-
-      gather battery (~3 (C, n) HBM streams/pass; measured 1.2-1.4x the
-      round-2 "pallas2" battery, which was ~2.0x the classic pass —
+      gather battery (~3 (C, n) HBM streams/pass; both Pallas batteries
+      beat the classic pass ~1.4-2x in every measured window, their
+      relative order is window-dependent —
       results/round3_battery_probes.log), identical in law).  Ignored by
       other engines.
     - ``mesh`` — a ``jax.sharding.Mesh`` (see ``parallel.make_mesh``) to
