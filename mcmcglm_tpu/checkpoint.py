@@ -21,7 +21,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["CheckpointManager"]
+__all__ = ["CheckpointManager", "CHECKPOINT_FORMAT"]
+
+# Payload format version.  Bump whenever a state field changes MEANING
+# (not just structure — orbax catches structure mismatches itself): a
+# silently restored stale semantic would contaminate every post-restore
+# draw with no error.  History:
+#   1: rounds 1-2 (freerun ld0 = ABSOLUTE log density)
+#   2: round 3+   (freerun ld0 = RELATIVE log density — eta-independent
+#      per-observation constants dropped; restoring a v1 ld0 would bias
+#      the first slice test per coordinate by those constants)
+CHECKPOINT_FORMAT = 2
 
 
 def _is_key(x) -> bool:
@@ -82,6 +92,7 @@ class CheckpointManager:
             "samples": np.asarray(samples) if has_samples else np.zeros((1,)),
             "has_samples": np.asarray(int(has_samples)),
             "step": np.asarray(step),
+            "format": np.asarray(CHECKPOINT_FORMAT),
         }
         self._mgr.save(step, args=self._ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
@@ -111,8 +122,29 @@ class CheckpointManager:
             "samples": np.zeros((1,)),
             "has_samples": np.asarray(0),
             "step": np.asarray(0),
+            "format": np.asarray(0),
         }
-        payload = self._mgr.restore(step, args=self._ocp.args.StandardRestore(template))
+        try:
+            payload = self._mgr.restore(
+                step, args=self._ocp.args.StandardRestore(template)
+            )
+        except Exception as exc:
+            # pre-format-tag checkpoints (rounds 1-2) fail the structure
+            # match on the missing "format" key: refuse with the reason
+            # instead of orbax's opaque tree-mismatch error
+            raise ValueError(
+                f"checkpoint at step {step} could not be restored — likely "
+                f"written before format tagging (format {CHECKPOINT_FORMAT} "
+                "required; freerun ld0 semantics changed from absolute to "
+                f"relative log density): {exc}"
+            ) from exc
+        fmt = int(payload["format"])
+        if fmt != CHECKPOINT_FORMAT:
+            raise ValueError(
+                f"checkpoint format {fmt} != supported {CHECKPOINT_FORMAT}; "
+                "state field semantics differ (see CHECKPOINT_FORMAT "
+                "history) — refusing a silently-biased restore"
+            )
         state = _unpack(payload["state"], state_template)
         samples = (
             np.asarray(payload["samples"]) if int(payload["has_samples"]) else None

@@ -365,6 +365,12 @@ class FreeRunCGGibbs:
                 self._Xt3 = self.Xt.reshape(self.d, S, L)
                 self._y3 = self.y.reshape(1, S, L)
                 self._m3 = self._mask.reshape(1, S, L)
+        self._battery_auto = battery_auto
+        # auto selection is finalised per chain count at first init():
+        # every Pallas battery's block layout needs C % 8 == 0 (pallas3's
+        # BC=1 fallback measured SLOWER than the classic pass), so auto
+        # demotes to "xla" for odd chain counts — see _resolve_battery.
+        self._battery_resolved = False
         if (
             battery_auto
             and self.battery_impl in ("pallas", "pallas2", "pallas3")
@@ -429,10 +435,36 @@ class FreeRunCGGibbs:
                 return True  # per-C fallback chain decides at run time
             jax.jit(fn).lower(*args)
             return True
-        except NotImplementedError:
+        except Exception:
+            # NotImplementedError is Mosaic's usual "Unimplemented
+            # primitive" signal, but lowering failures also surface as
+            # wrapped LoweringError/ValueError types depending on the JAX
+            # version — auto mode must degrade to the XLA battery for ALL
+            # of them rather than crash engine construction.  Explicitly
+            # requested Pallas impls still fail loudly at first use.
             return False
         finally:
             self._battery_cache.clear()  # drop the C=8 probe builds
+
+    def _resolve_battery(self, C: int) -> None:
+        """Finalise the auto battery selection for the first chain count
+        seen.  Every Pallas battery's block layout requires C % 8 == 0
+        (BC candidates are multiples of 8; pallas3's BC=1 fallback was
+        measured slower than the classic pass — results/README.md), so an
+        auto selection demotes to the XLA battery for odd chain counts.
+        Latched at first init: states carry the eta layout chosen here,
+        so re-resolving for a different C would orphan existing states.
+        Explicitly requested Pallas impls are never demoted."""
+        if self._battery_resolved:
+            return
+        self._battery_resolved = True
+        if (
+            self._battery_auto
+            and C % 8 != 0
+            and self.battery_impl in ("pallas", "pallas2", "pallas3")
+        ):
+            self.battery_impl = "xla"
+            self._eta3 = None  # 2-D eta layout (operands stay padded)
 
     # -- Pallas K-proposal battery evaluator --------------------------------
 
@@ -792,7 +824,13 @@ class FreeRunCGGibbs:
         for any w; with warmup-adapted widths (~3-4x the conditional scale)
         it needs ~2-3 evaluations per coordinate — the TPU sampling
         configuration.  ``shrink_only=False`` is the full stepping-out
-        schedule (used for warmup, where widths may start badly sized)."""
+        schedule (used for warmup, where widths may start badly sized).
+
+        ``shrink_only`` may also be a (C,) bool array — the two-phase
+        warmup mode, where each lane switches from the full stepping-out
+        schedule to the shrink-only kernel once its own warmup sweep count
+        crosses the stepout quota (see :meth:`warmup`).  PRNG consumption
+        is identical across all three modes."""
         dtype = self.dtype
         C = beta.shape[0]
         k_level, k_u, k_j = jax.random.split(key, 3)
@@ -805,16 +843,23 @@ class FreeRunCGGibbs:
         uj = jax.random.uniform(k_j, (C,), dtype=dtype)
         lp0 = jnp.asarray(self._coord_lp(beta, j, b0), dtype)
         zero = jnp.zeros((C,), jnp.int32)
-        if shrink_only:
+        if isinstance(shrink_only, bool) and shrink_only:
             J = zero
             K = zero
             phase = jnp.ones((C,), jnp.int32)
             xprop = L + (R - L) * uj  # first shrink proposal
-        else:
+        elif isinstance(shrink_only, bool):
             J = jnp.floor(uj * self.max_stepouts).astype(jnp.int32)
             K = (self.max_stepouts - 1) - J
             phase = zero
             xprop = L
+        else:  # per-lane (C,) bool: select between the two register sets
+            so = shrink_only
+            J_full = jnp.floor(uj * self.max_stepouts).astype(jnp.int32)
+            J = jnp.where(so, 0, J_full)
+            K = jnp.where(so, 0, (self.max_stepouts - 1) - J_full)
+            phase = so.astype(jnp.int32)
+            xprop = jnp.where(so, L + (R - L) * uj, L)
         return dict(
             level=level, L=L, R=R, budL=J, budR=K, b0=b0, lp0=lp0, w=w,
             xprop=xprop, phase=phase, stepdir=zero, n_shrink=zero,
@@ -826,6 +871,7 @@ class FreeRunCGGibbs:
         mean or a penalised-MLE point for very wide models, where a raw
         prior draw starts O(sqrt(d)) from the posterior bulk (the
         R reference always inits from the prior, R/mcmcglm.R:200-213)."""
+        self._resolve_battery(int(n_chains))
         if beta0 is not None:
             beta0 = jnp.asarray(beta0, self.dtype)
             if beta0.ndim == 1:
@@ -864,7 +910,8 @@ class FreeRunCGGibbs:
     # -- the pass -------------------------------------------------------------
 
     def _pass(self, s: FreeRunState, sweep_count, draws, nevbuf,
-              n_sweeps: int, adapt: bool, shrink_only: bool):
+              n_sweeps: int, adapt: bool, shrink_only: bool,
+              stepout_sweeps=None):
         """One target evaluation + automaton advance for every chain."""
         dtype = self.dtype
         C = s.beta.shape[0]
@@ -957,8 +1004,13 @@ class FreeRunCGGibbs:
         sweep_count = jnp.where(sweep_done, sweep_count + 1, sweep_count)
         j_next = jnp.where(sweep_done, 0, j_next)
 
-        # fresh automaton registers for lanes that committed
-        reg = self._begin_coord(k_begin, beta, logw, j_next, shrink_only)
+        # fresh automaton registers for lanes that committed; in two-phase
+        # warmup a lane switches to the shrink-only kernel once ITS sweep
+        # count crosses the stepout quota (per-lane: chains are free-running)
+        so_eff = shrink_only
+        if stepout_sweeps is not None and not shrink_only:
+            so_eff = sweep_count >= stepout_sweeps
+        reg = self._begin_coord(k_begin, beta, logw, j_next, so_eff)
 
         def pick(name, old):
             return jnp.where(commit, reg[name], old)
@@ -991,7 +1043,8 @@ class FreeRunCGGibbs:
     # -- the K-speculative pass --------------------------------------------
 
     def _pass_spec(self, s: FreeRunState, sweep_count, draws, nevbuf,
-                   n_sweeps: int, adapt: bool, shrink_only: bool):
+                   n_sweeps: int, adapt: bool, shrink_only: bool,
+                   stepout_sweeps=None):
         """K target evaluations + automaton advance per chain per pass.
 
         The enabling fact: in Neal's shrinkage the ALL-REJECTIONS proposal
@@ -1203,7 +1256,10 @@ class FreeRunCGGibbs:
         sweep_count = jnp.where(sweep_done, sweep_count + 1, sweep_count)
         j_next = jnp.where(sweep_done, 0, j_next)
 
-        reg = self._begin_coord(k_begin, beta, logw, j_next, shrink_only)
+        so_eff = shrink_only
+        if stepout_sweeps is not None and not shrink_only:
+            so_eff = sweep_count >= stepout_sweeps
+        reg = self._begin_coord(k_begin, beta, logw, j_next, so_eff)
 
         def pick(name, old):
             return jnp.where(commit, reg[name], old)
@@ -1226,7 +1282,7 @@ class FreeRunCGGibbs:
     # -- runs -------------------------------------------------------------
 
     def _run(self, state: FreeRunState, n_sweeps: int, adapt: bool,
-             shrink_only: bool):
+             shrink_only: bool, stepout_sweeps=None):
         C = state.beta.shape[0]
         draws0 = jnp.zeros((C, n_sweeps, self.d), self.dtype)
         nevbuf0 = jnp.zeros((C, n_sweeps), jnp.int32)
@@ -1239,9 +1295,10 @@ class FreeRunCGGibbs:
             s, sweep_count, draws, nevbuf = carry
             if self.spec_k > 1:
                 return self._pass_spec(s, sweep_count, draws, nevbuf,
-                                       n_sweeps, adapt, shrink_only)
+                                       n_sweeps, adapt, shrink_only,
+                                       stepout_sweeps)
             return self._pass(s, sweep_count, draws, nevbuf, n_sweeps,
-                              adapt, shrink_only)
+                              adapt, shrink_only, stepout_sweeps)
 
         state, _, draws, nevbuf = lax.while_loop(
             cond, body, (state, jnp.zeros((C,), jnp.int32), draws0, nevbuf0)
@@ -1250,7 +1307,7 @@ class FreeRunCGGibbs:
 
     def _run_pass_block(self, state: FreeRunState, sweep_count, *,
                         n_sweeps: int, n_passes: int, adapt: bool,
-                        shrink_only: bool):
+                        shrink_only: bool, stepout_sweeps=None):
         """Advance by at most ``n_passes`` device passes toward a quota of
         ``n_sweeps`` completed sweeps per chain, WITHOUT collecting draws.
 
@@ -1273,7 +1330,8 @@ class FreeRunCGGibbs:
             s, sweep_count, draws, nevbuf, p = carry
             step = self._pass_spec if self.spec_k > 1 else self._pass
             s, sweep_count, draws, nevbuf = step(
-                s, sweep_count, draws, nevbuf, n_sweeps, adapt, shrink_only
+                s, sweep_count, draws, nevbuf, n_sweeps, adapt, shrink_only,
+                stepout_sweeps
             )
             return s, sweep_count, draws, nevbuf, p + 1
 
@@ -1283,8 +1341,23 @@ class FreeRunCGGibbs:
         )
         return state, sweep_count
 
+    def _auto_stepout(self, n_sweeps: int) -> int:
+        """Default stepping-out quota for two-phase warmup: a few full
+        stepping-out sweeps to locate each coordinate's scale, then the
+        shrink-only kernel (with adaptation continuing) for the rest.
+        Rationale: a full stepping-out coordinate costs >= 3 device passes
+        (left endpoint battery + right endpoint battery + >= 1 shrink)
+        even when widths are already well-sized, vs ~1 pass shrink-only —
+        and the Robbins-Monro width pull is identical in both modes, so
+        only the first few sweeps (where w may be off by orders of
+        magnitude and stepping-out's linear walk finds the scale in one
+        visit) benefit from the full schedule.  Warmup draws are
+        discarded, so the kernel mix does not touch the collected chain's
+        law — and the shrink-only kernel is itself exact (m=1)."""
+        return min(n_sweeps, max(3, min(10, n_sweeps // 5)))
+
     def warmup_passes(self, state: FreeRunState, sweep_count, n_sweeps: int,
-                      n_passes: int):
+                      n_passes: int, stepout_sweeps: Optional[int] = None):
         """Advance adaptive warmup by at most ``n_passes`` device passes
         toward ``n_sweeps`` completed warmup sweeps per chain.
 
@@ -1295,13 +1368,21 @@ class FreeRunCGGibbs:
         consumption — but each dispatch's wall-clock is bounded by the pass
         budget instead of by the slowest chain's sweep, which is what keeps
         4096-chain warmups inside remote-dispatch RPC deadlines without
-        paying the cross-chain tail once per sweep."""
-        key_ = ("passes", n_sweeps, n_passes, int(state.beta.shape[0]))
+        paying the cross-chain tail once per sweep.
+
+        ``stepout_sweeps`` as in :meth:`warmup` (two-phase schedule; the
+        per-lane switch keys off the carried ``sweep_count``, so chunked
+        pass-bounded dispatches see the same schedule as one big call)."""
+        if stepout_sweeps is None:
+            stepout_sweeps = self._auto_stepout(n_sweeps)
+        key_ = ("passes", n_sweeps, n_passes, int(stepout_sweeps),
+                int(state.beta.shape[0]))
         fn = self._run_cache.get(key_)
         if fn is None:
             fn = jax.jit(partial(
                 self._run_pass_block, n_sweeps=n_sweeps, n_passes=n_passes,
                 adapt=True, shrink_only=False,
+                stepout_sweeps=int(stepout_sweeps),
             ))
             self._run_cache[key_] = fn
         return fn(state, sweep_count)
@@ -1382,18 +1463,34 @@ class FreeRunCGGibbs:
         state, moments, draws = fn(state, moments)
         return state, moments, draws, state.nev
 
-    def warmup(self, state: FreeRunState, n_sweeps: int):
+    def warmup(self, state: FreeRunState, n_sweeps: int,
+               stepout_sweeps: Optional[int] = None):
         """Adaptive warmup: per-(chain, coordinate) slice widths pulled
-        toward ~3x the accepted move (Robbins-Monro in log space), FROZEN
-        afterwards — identical policy to CGGibbs.warmup."""
-        return self._run_cached(state, n_sweeps, adapt=True, shrink_only=False)
+        toward ~adapt_c x the accepted move (Robbins-Monro in log space),
+        FROZEN afterwards — identical policy to CGGibbs.warmup.
 
-    def _run_cached(self, state, n_sweeps, adapt, shrink_only):
-        key_ = (n_sweeps, adapt, shrink_only, int(state.beta.shape[0]))
+        Two-phase schedule: the first ``stepout_sweeps`` sweeps (default
+        :meth:`_auto_stepout`; round-3 warmup used the full schedule
+        throughout and was ~4x the per-sweep sampling cost at pod scale)
+        run the full stepping-out kernel; the rest run the cheap
+        shrink-only kernel with adaptation continuing.  Pass
+        ``stepout_sweeps=n_sweeps`` for the round-3 behavior, ``0`` for
+        shrink-only-throughout (e.g. resuming an already-adapted state)."""
+        if stepout_sweeps is None:
+            stepout_sweeps = self._auto_stepout(n_sweeps)
+        return self._run_cached(state, n_sweeps, adapt=True,
+                                shrink_only=False,
+                                stepout_sweeps=int(stepout_sweeps))
+
+    def _run_cached(self, state, n_sweeps, adapt, shrink_only,
+                    stepout_sweeps=None):
+        key_ = (n_sweeps, adapt, shrink_only, stepout_sweeps,
+                int(state.beta.shape[0]))
         fn = self._run_cache.get(key_)
         if fn is None:
             fn = jax.jit(partial(self._run, n_sweeps=n_sweeps, adapt=adapt,
-                                 shrink_only=shrink_only))
+                                 shrink_only=shrink_only,
+                                 stepout_sweeps=stepout_sweeps))
             self._run_cache[key_] = fn
         state, draws, nevbuf = fn(state)
         return state, draws, nevbuf

@@ -105,6 +105,10 @@ class ShardedFreeRunCGGibbs:
 
     def init(self, key, n_chains: int) -> FreeRunState:
         c_local = self._check_chains(n_chains)
+        # auto battery selection is per-SHARD-chain-count aware (the inner
+        # automata run on c_local chains each); must resolve before
+        # _specs() reads the eta layout
+        self.inner._resolve_battery(c_local)
         specs = self._specs()
 
         def init_shard(key_data):
@@ -127,15 +131,17 @@ class ShardedFreeRunCGGibbs:
         return fn(kd)
 
     def _run_sharded(self, state: FreeRunState, n_sweeps: int, adapt: bool,
-                     shrink_only: bool):
+                     shrink_only: bool, stepout_sweeps=None):
         specs = self._specs()
-        key_ = (n_sweeps, adapt, shrink_only, int(state.beta.shape[0]))
+        key_ = (n_sweeps, adapt, shrink_only, stepout_sweeps,
+                int(state.beta.shape[0]))
         fn = self._fn_cache.get(key_)
         if fn is None:
 
             def run_shard(st):
                 st2, draws, nevbuf = self.inner._run(
-                    st._replace(key=st.key[0]), n_sweeps, adapt, shrink_only
+                    st._replace(key=st.key[0]), n_sweeps, adapt, shrink_only,
+                    stepout_sweeps
                 )
                 return st2._replace(key=st2.key[None]), draws, nevbuf
 
@@ -156,13 +162,18 @@ class ShardedFreeRunCGGibbs:
         return self._run_sharded(state, n_sweeps, adapt=False,
                                  shrink_only=self.inner.shrink_only)
 
-    def warmup(self, state: FreeRunState, n_sweeps: int):
-        """Adaptive-width warmup (full stepping-out), per-shard."""
+    def warmup(self, state: FreeRunState, n_sweeps: int,
+               stepout_sweeps=None):
+        """Adaptive-width warmup, per-shard (two-phase schedule as in
+        FreeRunCGGibbs.warmup)."""
+        if stepout_sweeps is None:
+            stepout_sweeps = self.inner._auto_stepout(n_sweeps)
         return self._run_sharded(state, n_sweeps, adapt=True,
-                                 shrink_only=False)
+                                 shrink_only=False,
+                                 stepout_sweeps=int(stepout_sweeps))
 
     def warmup_passes(self, state: FreeRunState, sweep_count, n_sweeps: int,
-                      n_passes: int):
+                      n_passes: int, stepout_sweeps=None):
         """Pass-bounded adaptive warmup, per shard — the pod-scale warmup
         mode (see FreeRunCGGibbs.warmup_passes).  ``sweep_count`` is a
         chain-sharded (C,) int32 counter; pass ``None`` to start from zero.
@@ -170,12 +181,14 @@ class ShardedFreeRunCGGibbs:
         ``(np.asarray(sweep_count) >= n_sweeps).all()``."""
         specs = self._specs()
         C = int(state.beta.shape[0])
+        if stepout_sweeps is None:
+            stepout_sweeps = self.inner._auto_stepout(n_sweeps)
         if sweep_count is None:
             sweep_count = jax.device_put(
                 jnp.zeros((C,), jnp.int32),
                 NamedSharding(self.mesh, P(CHAIN_AXIS)),
             )
-        key_ = ("passes", n_sweeps, n_passes, C)
+        key_ = ("passes", n_sweeps, n_passes, int(stepout_sweeps), C)
         fn = self._fn_cache.get(key_)
         if fn is None:
 
@@ -184,6 +197,7 @@ class ShardedFreeRunCGGibbs:
                     st._replace(key=st.key[0]), sc,
                     n_sweeps=n_sweeps, n_passes=n_passes,
                     adapt=True, shrink_only=False,
+                    stepout_sweeps=int(stepout_sweeps),
                 )
                 return st2._replace(key=st2.key[None]), sc2
 

@@ -101,9 +101,14 @@ def run_config(name, family, n, d, prior, w, n_chains, burnin, timed,
     # remote-runtime dispatch deadlines
     wu_chunk = 20 if d >= 5000 else burnin
     done = 0
+    stepout_total = eng._auto_stepout(burnin)
     while done < burnin:
         step = min(wu_chunk, burnin - done)
-        state, _, _ = eng.warmup(state, step)
+        # two-phase warmup across chunks: each chunk restarts its local
+        # sweep counter, so thread the REMAINING stepping-out quota
+        state, _, _ = eng.warmup(
+            state, step, stepout_sweeps=max(0, stepout_total - done)
+        )
         jax.block_until_ready(state.beta)
         done += step
         _log(f"{name}: warmup {done}/{burnin}")
@@ -194,9 +199,12 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
     else:
         wu_chunk = 5 if n_chains >= 256 else burnin
         done_w = 0
+        stepout_total = eng.inner._auto_stepout(burnin)
         while done_w < burnin:
             step = min(wu_chunk, burnin - done_w)
-            state, _, _ = eng.warmup(state, step)
+            state, _, _ = eng.warmup(
+                state, step, stepout_sweeps=max(0, stepout_total - done_w)
+            )
             jax.block_until_ready(state.beta)
             done_w += step
             _log(f"pod: warmup {done_w}/{burnin}")
@@ -263,7 +271,7 @@ def main():
     ap.add_argument("--only", type=int, default=0,
                     help="run a single config (1-5)")
     ap.add_argument("--battery", default="auto",
-                    choices=["auto", "pallas2", "pallas", "xla"],
+                    choices=["auto", "pallas3", "pallas2", "pallas", "xla"],
                     help="battery impl for the speculative engine opts")
     args = ap.parse_args()
     s = args.small

@@ -175,3 +175,35 @@ class TestFreeRunBatteryCheckpoint:
             np.asarray(st_a.eta), np.asarray(st_b.eta)
         )
         mgr2.close()
+
+
+class TestCheckpointFormatVersion:
+    """The payload carries a format version (checkpoint.CHECKPOINT_FORMAT):
+    state fields have changed MEANING across rounds (freerun ld0 went from
+    absolute to relative log density in round 3), and a silently restored
+    stale semantic would bias every post-restore slice test with no error
+    (ADVICE r3).  Mismatches must refuse loudly."""
+
+    def test_roundtrip_carries_format(self, engine, tmp_path):
+        import mcmcglm_tpu.checkpoint as ck
+
+        st = engine.init(jax.random.key(0), 2)
+        mgr = CheckpointManager(str(tmp_path / "fmt"))
+        mgr.save(1, st)
+        out = mgr.restore(st)
+        assert out is not None and out[0] == 1
+        assert ck.CHECKPOINT_FORMAT == 2
+        mgr.close()
+
+    def test_format_mismatch_refuses(self, engine, tmp_path, monkeypatch):
+        import mcmcglm_tpu.checkpoint as ck
+
+        st = engine.init(jax.random.key(0), 2)
+        mgr = CheckpointManager(str(tmp_path / "fmt2"))
+        mgr.save(1, st)
+        # simulate restoring this payload in a FUTURE engine whose state
+        # semantics moved on
+        monkeypatch.setattr(ck, "CHECKPOINT_FORMAT", 3)
+        with pytest.raises(ValueError, match="format"):
+            mgr.restore(st)
+        mgr.close()
