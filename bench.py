@@ -25,10 +25,41 @@ Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+CACHE_DIR = "/root/repo/.jax_cache"
+# battery self-selection marker: once a session has A/B'd the two
+# front-runner kernels and timed them, later runs (the driver's
+# end-of-round bench in particular) reuse that selection instead of
+# warming BOTH candidates — the selection burst protocol cost ~120 s of
+# compile per run even with a warm persistent cache (VERDICT r3 #4).
+# Deleting the file (or changing the config) restores full self-selection.
+MARKER = os.path.join(CACHE_DIR, "bench_selected.json")
+
+
+def _read_marker(config):
+    try:
+        with open(MARKER) as fh:
+            m = json.load(fh)
+        if m.get("config") == list(config) and m.get("battery"):
+            return m
+    except Exception:
+        pass
+    return None
+
+
+def _write_marker(config, battery, burst_rate):
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        with open(MARKER, "w") as fh:
+            json.dump({"config": list(config), "battery": battery,
+                       "burst_sweeps_per_sec": round(burst_rate, 3)}, fh)
+    except Exception:
+        pass
 
 
 def _numpy_baseline_sweep_rate(X, y, w=0.5, n_sweeps=2, seed=0, prior_sd=1.0):
@@ -119,49 +150,75 @@ def main():
     # the remote compile service intermittently wedges or 500s on Mosaic
     # kernels, and the bench must produce a number regardless.
     t0 = time.perf_counter()
-    candidates = (
-        [["pallas3"], ["pallas2"], ["pallas"], ["xla"]]
-        if on_accel else [["auto"]]
-    )
-    warmed = []  # (burst_rate, impl, eng, state)
-    for impls in candidates:
+    config = (n, d, n_chains)
+    marker = _read_marker(config) if on_accel else None
+
+    def _build(impl):
+        eng = FreeRunCGGibbs(
+            X,
+            y,
+            "binomial",
+            mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+            tuning={"w": 0.5},
+            spec_k=4 if on_accel else 1,
+            battery_impl=impl if on_accel else "auto",
+        )
+        state = eng.init(jax.random.key(0), n_chains)
+        # adaptive warmup (tunes per-(chain, coordinate) slice widths;
+        # two-phase: a few stepping-out sweeps, then shrink-only + adapt)
+        state, _, _ = eng.warmup(state, burnin)
+        jax.block_until_ready(state.beta)
+        return eng, state
+
+    cache_hit = False
+    if marker is not None:
+        # warm path: a previous session already self-selected; warm ONLY
+        # the winner (persistent .jax_cache makes its compiles disk hits)
         try:
-            eng = FreeRunCGGibbs(
-                X,
-                y,
-                "binomial",
-                mg.IIDPrior(mg.Normal(0.0, 1.0), d),
-                tuning={"w": 0.5},
-                spec_k=4 if on_accel else 1,
-                battery_impl=impls[0] if on_accel else "auto",
-            )
-            state = eng.init(jax.random.key(0), n_chains)
-            # adaptive warmup (tunes per-(chain, coordinate) slice widths)
-            state, _, _ = eng.warmup(state, burnin)
-            jax.block_until_ready(state.beta)
-            if not on_accel:
-                warmed.append((0.0, impls[0], eng, state))
-                break
-            # selection burst: short timed run on the warm sampler
-            state, _, _ = eng.run(state, 2)  # compile sampling executable
-            jax.block_until_ready(state.beta)
-            tb = time.perf_counter()
-            state, b, _ = eng.run(state, 8)
-            jax.block_until_ready(b)
-            rate = 8.0 / (time.perf_counter() - tb)
-            print(f"# burst {impls[0]}: {rate:.3f} sweeps/s",
+            eng, state = _build(marker["battery"])
+            chosen = marker["battery"]
+            cache_hit = True
+            print(f"# marker: reusing selected battery_impl={chosen}",
                   file=sys.stderr, flush=True)
-            warmed.append((rate, impls[0], eng, state))
-            if len(warmed) == 2:
-                break  # the two front-runners are enough
-        except Exception as exc:  # compile/lowering failure: step down
-            print(f"# battery_impl={impls[0]} failed ({type(exc).__name__}); "
-                  "falling back", file=sys.stderr, flush=True)
-    if not warmed:
-        raise RuntimeError("all battery implementations failed")
-    warmed.sort(key=lambda t: -t[0])
-    _, chosen, eng, state = warmed[0]
-    print(f"# selected battery_impl={chosen}", file=sys.stderr, flush=True)
+        except Exception as exc:
+            print(f"# marker battery {marker['battery']} failed "
+                  f"({type(exc).__name__}); re-selecting",
+                  file=sys.stderr, flush=True)
+            marker = None
+    if marker is None:
+        candidates = (
+            ["pallas3", "pallas2", "pallas", "xla"] if on_accel else ["auto"]
+        )
+        warmed = []  # (burst_rate, impl, eng, state)
+        for impl in candidates:
+            try:
+                eng, state = _build(impl)
+                if not on_accel:
+                    warmed.append((0.0, impl, eng, state))
+                    break
+                # selection burst: short timed run on the warm sampler
+                # (one executable shape: compile run(8), then time run(8))
+                state, _, _ = eng.run(state, 8)
+                jax.block_until_ready(state.beta)
+                tb = time.perf_counter()
+                state, b, _ = eng.run(state, 8)
+                jax.block_until_ready(b)
+                rate = 8.0 / (time.perf_counter() - tb)
+                print(f"# burst {impl}: {rate:.3f} sweeps/s",
+                      file=sys.stderr, flush=True)
+                warmed.append((rate, impl, eng, state))
+                if len(warmed) == 2:
+                    break  # the two front-runners are enough
+            except Exception as exc:  # compile/lowering failure: step down
+                print(f"# battery_impl={impl} failed ({type(exc).__name__}); "
+                      "falling back", file=sys.stderr, flush=True)
+        if not warmed:
+            raise RuntimeError("all battery implementations failed")
+        warmed.sort(key=lambda t: -t[0])
+        burst_rate, chosen, eng, state = warmed[0]
+        print(f"# selected battery_impl={chosen}", file=sys.stderr, flush=True)
+        if on_accel:
+            _write_marker(config, chosen, burst_rate)
     compile_s = time.perf_counter() - t0
 
     # chunk dispatches: long single executions can exceed remote-runtime
@@ -221,6 +278,7 @@ def main():
                 "baseline_proxy_sweeps_per_sec": round(np_rate, 4),
                 "baseline_proxy_ess_per_sec": round(baseline_ess_per_sec, 4),
                 "battery": getattr(eng, "battery_impl", None),
+                "selection_cache_hit": cache_hit,
                 "note": (
                     "remote-tunnel throughput drifts up to ~2x between "
                     "sessions; same-process A/B ladders in "

@@ -213,9 +213,11 @@ def _bernoulli_probit_eta(eta, y, extra):
 
 def _bernoulli_cloglog_eta(eta, y, extra):
     # mu = 1 - exp(-exp(eta)): log(1-mu) = -exp(eta); log(mu) = log(1 - exp(-ex)).
-    # Spelled WITHOUT expm1/log1p (Mosaic lowers neither inside Pallas TPU
-    # kernels): direct form for ex > 1e-3; the series log(ex) - ex/2 +
-    # O(ex^2) = eta - ex/2 below, where the direct f32 form loses precision.
+    # Spelled WITHOUT expm1 (no Mosaic lowering inside Pallas TPU kernels;
+    # log1p and softplus DO lower — verified on TPU,
+    # results/round4_probe_lowerable.log): direct form for ex > 1e-3; the
+    # series log(ex) - ex/2 + O(ex^2) = eta - ex/2 below, where the direct
+    # f32 form loses precision.
     dtype = jnp.result_type(eta)
     ex = jnp.exp(eta)
     tiny = jnp.finfo(dtype).tiny
@@ -315,7 +317,10 @@ def _negbin_log_eta(eta, y, extra):
 
 
 def _negbin_log_eta_rel(eta, y, extra):
-    # drop lgamma(y+r) - lgamma(r) - lgamma(y+1): all eta-independent
+    # drop lgamma(y+r) - lgamma(r) - lgamma(y+1): all eta-independent.
+    # jax.nn.softplus (via log1p) lowers fine in Pallas TPU kernels —
+    # verified, results/round4_probe_lowerable.log (only expm1/lgamma/erf
+    # lack lowerings), so this rel path is battery-eligible as claimed.
     r = jnp.asarray(extra.get("size", 1.0), dtype=jnp.result_type(eta))
     log_r = jnp.log(r)
     log_r_plus_mu = log_r + jax.nn.softplus(eta - log_r)

@@ -16,6 +16,7 @@ a separate column for transparency).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional, Sequence
 
@@ -102,6 +103,39 @@ def compare_eta_comptime(
     return pd.DataFrame(rows)
 
 
+def _pin_cpu_backend():
+    """Worker initializer for the parallel sweep: pin each worker process
+    to the CPU backend BEFORE its first jax backend initialisation.  One
+    accelerator cannot be time-shared by concurrent processes (and on
+    this project's remote-tunnel TPU two processes corrupt each other's
+    timings outright), so the process-parallel mode is CPU-only by
+    construction — the reference's multisession workers are likewise
+    plain CPU R processes (R/measure_performance.R:130-139)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def _comptime_one_nvars(args):
+    """Module-level worker (picklable for spawned processes): generate the
+    width-d dataset and run the update-vs-naive comparison — the analogue
+    of generate_and_compare_eta_comptime (R/measure_performance.R:68)."""
+    d, n, beta_prior, extra, slice_fn, n_samples, burnin, n_chains, seed, \
+        tuning = args
+    data = generate_normal_data(int(d), n=n, seed=seed + int(d))
+    return compare_eta_comptime(
+        "Y ~ .",
+        data,
+        family="gaussian",
+        beta_prior=beta_prior,
+        log_likelihood_extra_args=extra,
+        slice_fn=slice_fn,
+        n_samples=n_samples,
+        burnin=burnin,
+        n_chains=n_chains,
+        seed=seed,
+        **tuning,
+    )
+
+
 def compare_eta_comptime_across_nvars(
     n_vars: Sequence[int],
     n: int = 100,
@@ -112,6 +146,8 @@ def compare_eta_comptime_across_nvars(
     burnin: int = 100,
     n_chains: int = 1,
     seed: int = 0,
+    parallelise: bool = False,
+    n_cores: Optional[int] = None,
     **tuning,
 ):
     """Sweep the update-vs-naive comparison over model widths with simulated
@@ -120,30 +156,45 @@ def compare_eta_comptime_across_nvars(
 
     Defaults w=0.5 if the stepping-out kernel is used with no tuning given
     (parity: R/measure_performance.R:125).
+
+    ``parallelise=True`` fans the per-width comparisons out over worker
+    PROCESSES (the reference's future multisession fan-out,
+    R/measure_performance.R:130-139), each pinned to the CPU backend —
+    see :func:`_pin_cpu_backend` for why device backends stay sequential.
+    ``n_cores`` defaults to the ``NUMBER_OF_PROCESSORS`` env var minus one
+    (reference parity, R/measure_performance.R:123) or ``os.cpu_count()-1``.
+    Result rows carry a ``parallelised`` flag (R/measure_performance.R:149).
+    Workers are spawned, so call from an importable ``__main__`` (the
+    usual ``if __name__ == "__main__":`` multiprocessing guard).
     """
     import pandas as pd
 
     if slice_fn == "stepping_out" and not tuning:
         tuning = {"w": 0.5}
-    frames = []
-    for d in n_vars:
-        data = generate_normal_data(int(d), n=n, seed=seed + int(d))
-        frames.append(
-            compare_eta_comptime(
-                "Y ~ .",
-                data,
-                family="gaussian",
-                beta_prior=beta_prior,
-                log_likelihood_extra_args=log_likelihood_extra_args,
-                slice_fn=slice_fn,
-                n_samples=n_samples,
-                burnin=burnin,
-                n_chains=n_chains,
-                seed=seed,
-                **tuning,
-            )
-        )
-    return pd.concat(frames, ignore_index=True)
+    jobs = [
+        (int(d), n, beta_prior, log_likelihood_extra_args, slice_fn,
+         n_samples, burnin, n_chains, seed, tuning)
+        for d in n_vars
+    ]
+    if parallelise:
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        if n_cores is None:
+            env = os.environ.get("NUMBER_OF_PROCESSORS")
+            n_cores = (int(env) if env else (os.cpu_count() or 2)) - 1
+        n_cores = max(1, min(int(n_cores), len(jobs)))
+        with cf.ProcessPoolExecutor(
+            max_workers=n_cores,
+            mp_context=mp.get_context("spawn"),
+            initializer=_pin_cpu_backend,
+        ) as pool:
+            frames = list(pool.map(_comptime_one_nvars, jobs))
+    else:
+        frames = [_comptime_one_nvars(j) for j in jobs]
+    out = pd.concat(frames, ignore_index=True)
+    out["parallelised"] = bool(parallelise)
+    return out
 
 
 def plot_eta_comptime(eta_comptime_data, facet_by: Optional[str] = None):

@@ -147,3 +147,23 @@ class TestComptime:
         )
         fig = mg.plot_eta_comptime(df)
         assert fig.axes
+
+
+class TestComptimeParallel:
+    def test_parallelise_matches_sequential_schema(self):
+        """parallelise=True fans per-width comparisons out over spawned
+        CPU worker processes (reference future-multisession parity,
+        R/measure_performance.R:130-145); rows carry the parallelised
+        flag (:149) and the same schema as the sequential path."""
+        seq = mg.compare_eta_comptime_across_nvars(
+            n_vars=[2, 4], n=40, n_samples=5, burnin=0
+        )
+        par = mg.compare_eta_comptime_across_nvars(
+            n_vars=[2, 4], n=40, n_samples=5, burnin=0,
+            parallelise=True, n_cores=2,
+        )
+        assert bool(par.parallelised.all()) and not bool(seq.parallelised.any())
+        assert list(par.columns) == list(seq.columns)
+        assert sorted(par.n_vars.unique()) == [2, 4]
+        assert set(par.linear_predictor_calc) == {"update", "naive"}
+        assert (par.time > 0).all()
