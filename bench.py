@@ -153,7 +153,13 @@ def main():
     config = (n, d, n_chains)
     marker = _read_marker(config) if on_accel else None
 
+    def _stage(label, t):
+        print(f"# stage {label}: {time.perf_counter() - t:.1f}s",
+              file=sys.stderr, flush=True)
+        return time.perf_counter()
+
     def _build(impl):
+        t = time.perf_counter()
         eng = FreeRunCGGibbs(
             X,
             y,
@@ -163,11 +169,15 @@ def main():
             spec_k=4 if on_accel else 1,
             battery_impl=impl if on_accel else "auto",
         )
+        t = _stage(f"{impl} construct", t)
         state = eng.init(jax.random.key(0), n_chains)
+        jax.block_until_ready(state.beta)
+        t = _stage(f"{impl} init", t)
         # adaptive warmup (tunes per-(chain, coordinate) slice widths;
         # two-phase: a few stepping-out sweeps, then shrink-only + adapt)
         state, _, _ = eng.warmup(state, burnin)
         jax.block_until_ready(state.beta)
+        _stage(f"{impl} warmup({burnin})", t)
         return eng, state
 
     cache_hit = False
