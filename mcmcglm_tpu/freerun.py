@@ -130,6 +130,7 @@ class FreeRunCGGibbs:
         offset=None,
         spec_k: int = 1,
         battery_impl: str = "auto",
+        x_storage: str = "f32",
     ):
         self.family: Family = check_family(family)
         # The engine only ever COMPARES log densities across eta values
@@ -142,6 +143,28 @@ class FreeRunCGGibbs:
         self.prior = prior
         self.dtype = dtype
         X = jnp.asarray(X, dtype)
+        # x_storage="bf16": the design matrix is ROUNDED to bfloat16 once,
+        # up front, and every consumer — the init matvec, the XLA row
+        # gathers, AND the pallas3 in-kernel row stream (which then ships
+        # the rows as actual bf16, halving the dominant X-row HBM stream
+        # of the 3-stream pass) — computes in f32 on the SAME rounded
+        # values.  The engine is therefore an EXACT sampler for the
+        # posterior of X' = bf16(X): there is no within-sampler error to
+        # compare against the Exp(1) slice level at all; the only change
+        # is a one-time ~2^-9-relative perturbation of the design (a data
+        # change far below measurement error of X in any real dataset;
+        # posterior-shift quantified in tests/test_freerun_spec.py).
+        # Rounding up front (not per-path) is what avoids the round-3
+        # frozen-offset bug class: a MIXED-precision design (f32 init
+        # matvec, bf16 updates) would freeze the per-chain residual
+        # (X - X') beta0 into eta for the chain's lifetime.
+        if x_storage not in ("f32", "bf16"):
+            raise ValueError(
+                f"x_storage must be 'f32' or 'bf16', got {x_storage!r}"
+            )
+        self.x_storage = x_storage
+        if x_storage == "bf16":
+            X = X.astype(jnp.bfloat16).astype(dtype)
         self.n, self.d = X.shape
         # fixed additive eta component (R's offset() term): enters only at
         # eta initialisation — the incremental updates preserve it
@@ -362,7 +385,13 @@ class FreeRunCGGibbs:
                         "the per-step VMEM budget; use 'pallas' (n-tiled)"
                     )
                 self._eta3 = (S, L)
-                self._Xt3 = self.Xt.reshape(self.d, S, L)
+                # bf16 storage halves the X-row stream of the 3-stream
+                # pass; values are ALREADY bf16-rounded (see x_storage
+                # above), so the cast is lossless here and the kernel's
+                # f32 upcast reproduces identical arithmetic
+                self._Xt3 = self.Xt.reshape(self.d, S, L).astype(
+                    jnp.bfloat16 if x_storage == "bf16" else dtype
+                )
                 self._y3 = self.y.reshape(1, S, L)
                 self._m3 = self._mask.reshape(1, S, L)
         self._battery_auto = battery_auto
@@ -722,7 +751,7 @@ class FreeRunCGGibbs:
             mv = m_ref[0]
             for r in range(BC):
                 eta = eta_ref[r]  # (S, L)
-                xg = xrows[r][0]
+                xg = xrows[r][0].astype(jnp.float32)  # no-op when f32
                 deltas = deltas_ref[r]  # (1, K)
 
                 cols = []

@@ -218,8 +218,9 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
     t0 = time.perf_counter()
     mom = None  # restart moments for the timed section
     dparts = []
-    # keep each dispatch well under the RPC deadline
-    chunk = max(1, min(8, 8_192 // (n_chains * thin)))
+    # keep each dispatch well under the RPC deadline (~30 s of sweeps at
+    # the measured pod rate)
+    chunk = max(1, min(16, 32_768 // (n_chains * thin)))
     done = 1
     state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin, moments=mom)
     dparts.append(dr)
@@ -300,9 +301,14 @@ def main():
                    extra={"sd": 1.0}, init_at_prior_mean=True,
                    engine_opts=opts)
     if only in (0, 5) and not args.skip_pod:
+        # r4 protocol (VERDICT r3 #1): retain >=150 draws per chain at
+        # thin=1 so the pooled min-ESS sits well below the retained-draw
+        # ceiling — the r3 run (30 draws/chain) measured its own
+        # collection window, not the sampler (min-ESS at 87% of the
+        # ceiling, median clipped).
         run_pooled_4096(2000 if s else 10_000, 100 if s else 1000,
                         64 if s else 4096, 10 if s else 30,
-                        n_outer=10 if s else 30, thin=2, engine_opts=opts)
+                        n_outer=20 if s else 150, thin=1, engine_opts=opts)
 
 
 if __name__ == "__main__":

@@ -478,3 +478,71 @@ def test_poisson_battery_matches_xla_in_law():
     assert abs(rates[0] - rates[1]) / rates[0] < 0.06
     assert np.abs(posts[0].mean(0) - posts[1].mean(0)).max() < 0.06
     assert np.abs(posts[0].std(0) / posts[1].std(0) - 1.0).max() < 0.15
+
+
+class TestBf16XStorage:
+    """x_storage='bf16': the design matrix is rounded ONCE up front and
+    every path computes on the same rounded values, so the engine exactly
+    samples the posterior of X' = bf16(X) — and the pallas3 battery ships
+    the halved X-row stream.  These tests pin (a) the posterior shift
+    from the design rounding is far below the posterior sd, (b) the
+    rounding is applied consistently (eta matches X' beta, not X beta)."""
+
+    def _problem(self, n=1000, d=8, seed=0):
+        rng = np.random.default_rng(seed)
+        X = np.column_stack([np.ones(n), rng.normal(size=(n, d - 1))])
+        beta_true = rng.normal(size=d) * 0.5
+        y = rng.binomial(1, 1.0 / (1.0 + np.exp(-X @ beta_true))).astype(float)
+        return X, y
+
+    def _fit(self, X, y, x_storage, seed=3):
+        d = X.shape[1]
+        fr = FreeRunCGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+            tuning={"w": 0.5}, spec_k=4, battery_impl="pallas3",
+            x_storage=x_storage,
+        )
+        st = fr.init(jax.random.key(seed), 16)
+        st, _, _ = fr.warmup(st, 40)
+        st, draws, _ = fr.run(st, 300)
+        return np.asarray(draws)[:, 50:, :].reshape(-1, d)
+
+    def test_posterior_shift_below_sd(self):
+        X, y = self._problem()
+        p32 = self._fit(X, y, "f32")
+        p16 = self._fit(X, y, "bf16")
+        sd = p32.std(0)
+        shift = np.abs(p16.mean(0) - p32.mean(0)) / sd
+        # the X' perturbation is ~2^-9 relative; the induced posterior
+        # shift must drown in the posterior spread (MC error here ~0.05)
+        assert shift.max() < 0.2
+
+    def test_eta_consistent_with_rounded_design(self):
+        X, y = self._problem(n=600, d=6)
+        d = X.shape[1]
+        fr = FreeRunCGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d),
+            tuning={"w": 0.5}, spec_k=4, battery_impl="pallas3",
+            x_storage="bf16",
+        )
+        st = fr.init(jax.random.key(0), 8)
+        st, _, _ = fr.run(st, 3)
+        n_pad = int(np.prod(fr.Xt.shape[1:]))
+        eta = np.asarray(st.eta).reshape(8, n_pad)[:, :fr.n]
+        Xp = np.asarray(X).astype(np.float32)
+        import jax.numpy as jnp
+        Xr = np.asarray(jnp.asarray(Xp).astype(jnp.bfloat16).astype(jnp.float32))
+        # eta must track the ROUNDED design exactly (f32 accumulation of
+        # incremental updates), not the original X
+        drift_rounded = np.abs(
+            eta - np.asarray(st.beta) @ np.asarray(Xr).T
+        ).max()
+        assert drift_rounded < 5e-4
+
+    def test_bad_x_storage_raises(self):
+        X, y = self._problem(n=200, d=4)
+        with pytest.raises(ValueError, match="x_storage"):
+            FreeRunCGGibbs(
+                X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), 4),
+                tuning={"w": 0.5}, x_storage="fp8",
+            )
