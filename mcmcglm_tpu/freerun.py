@@ -736,7 +736,14 @@ class FreeRunCGGibbs:
 
         K = self.spec_k
         S, L = self._eta3
-        BC = 8 if C % 8 == 0 else 1
+        # chains per grid step: 8 default (BC=1 measured slower than the
+        # classic pass; the pass-budget probe showed the in-kernel row
+        # gather is DMA-LATENCY-bound, not bandwidth-bound, so batching
+        # more row DMAs per step can overlap them further — override via
+        # _bc3 for probing)
+        BC = getattr(self, "_bc3", None) or (8 if C % 8 == 0 else 1)
+        if C % BC != 0:
+            raise ValueError(f"_bc3={BC} does not divide C={C}")
         ld_fn = self._ld_eta
         extra = {k: float(v) for k, v in self.extra.items()}
         y3 = self._y3
@@ -841,9 +848,15 @@ class FreeRunCGGibbs:
 
     # -- coordinate initialisation (batched) ---------------------------------
 
-    def _begin_coord(self, key, beta, logw, j, shrink_only: bool):
+    def _begin_coord(self, key, beta, logw, j, shrink_only, ubatch=None):
         """Level + initial interval for each lane's coordinate j.  Returns a
         dict of fresh automaton registers.
+
+        ``ubatch`` (C, 3) optionally supplies the three uniforms (level,
+        interval position, stepout split) drawn as ONE batched call by the
+        pass — each separate (C,)-draw pays a fixed threefry dispatch cost
+        (~22 us/pass total for the pass's six RNG ops,
+        results/round4_pass_budget2.log).  Same law either way.
 
         ``shrink_only=True`` is Neal's procedure with a step-out budget of
         m = 1: the randomly-positioned width-w interval is used directly
@@ -862,14 +875,20 @@ class FreeRunCGGibbs:
         is identical across all three modes."""
         dtype = self.dtype
         C = beta.shape[0]
-        k_level, k_u, k_j = jax.random.split(key, 3)
-        level = -jax.random.exponential(k_level, (C,), dtype=dtype)
+        if ubatch is None:
+            k_level, k_u, k_j = jax.random.split(key, 3)
+            level = -jax.random.exponential(k_level, (C,), dtype=dtype)
+            u = jax.random.uniform(k_u, (C,), dtype=dtype)
+            uj = jax.random.uniform(k_j, (C,), dtype=dtype)
+        else:
+            # -Exp(1) from a uniform: log1p(-u) is exact for u in [0, 1)
+            level = jnp.log1p(-ubatch[:, 0])
+            u = ubatch[:, 1]
+            uj = ubatch[:, 2]
         w = jnp.exp(jnp.take_along_axis(logw, j[:, None], axis=1)[:, 0])
         b0 = jnp.take_along_axis(beta, j[:, None], axis=1)[:, 0]
-        u = jax.random.uniform(k_u, (C,), dtype=dtype)
         L = b0 - w * u
         R = L + w
-        uj = jax.random.uniform(k_j, (C,), dtype=dtype)
         lp0 = jnp.asarray(self._coord_lp(beta, j, b0), dtype)
         zero = jnp.zeros((C,), jnp.int32)
         if isinstance(shrink_only, bool) and shrink_only:
@@ -936,6 +955,43 @@ class FreeRunCGGibbs:
             **reg,
         )
 
+    def _commit_row(self, arr, j, val, gate=None):
+        """arr[c, j_c] = val_c (for lanes where ``gate``), as a one-hot
+        dense select instead of a scatter: XLA's TPU scatter lowering
+        serialises row updates (measured 20 us/pass for the (256, 1000)
+        beta commit — 13% of the whole K=4 pass,
+        results/round4_pass_budget2.log); the dense where() is a plain
+        ~2x(C, d) stream the VPU chews through in a few us."""
+        hit = (
+            lax.broadcasted_iota(jnp.int32, (1, arr.shape[1]), 1)
+            == j[:, None]
+        )
+        if gate is not None:
+            hit = hit & gate[:, None]
+        return jnp.where(hit, val[:, None], arr)
+
+    @staticmethod
+    def _sweep_buffers(draws, nevbuf, rows, slot, beta, nev_new, sweep_done):
+        """Record completed sweeps into the draws/nevbuf buffers.
+
+        The drop-mode scatters only change anything on passes where some
+        lane finished a sweep — for most passes every slot is OOB and the
+        scatter is a pure no-op that still streams its (C, d) update
+        tensor (measured ~13 us of the 153 us K=4 pass,
+        results/round4_pass_budget.log).  Gating them under lax.cond
+        skips that traffic on no-completion passes; on completion passes
+        the scatter is bitwise the previous behavior.  nevbuf records
+        each chain's cumulative evals at sweep completion -> honest
+        per-sweep counts (diff on the host)."""
+
+        def write(d_nb):
+            d_, nb_ = d_nb
+            return (d_.at[rows, slot].set(beta, mode="drop"),
+                    nb_.at[rows, slot].set(nev_new, mode="drop"))
+
+        return lax.cond(jnp.any(sweep_done), write, lambda d_nb: d_nb,
+                        (draws, nevbuf))
+
     # -- the pass -------------------------------------------------------------
 
     def _pass(self, s: FreeRunState, sweep_count, draws, nevbuf,
@@ -947,9 +1003,11 @@ class FreeRunCGGibbs:
         rows = jnp.arange(C)
         active = sweep_count < n_sweeps
 
-        # pass-level randomness: one shared key, (C,)-vector draws
-        key, k_u, k_begin = jax.random.split(s.key, 3)
-        u_shrink = jax.random.uniform(k_u, (C,), dtype=dtype)
+        # pass-level randomness: ONE batched uniform block (each separate
+        # (C,)-draw pays a fixed threefry dispatch cost)
+        key, k_u = jax.random.split(s.key)
+        R4 = jax.random.uniform(k_u, (C, 4), dtype=dtype)
+        u_shrink = R4[:, 0]
 
         # 1-2. the single fused evaluation
         xg = jnp.take(self.Xt, s.j, axis=0)  # (C, n) row gather
@@ -1005,12 +1063,12 @@ class FreeRunCGGibbs:
         else:
             ld0 = jnp.where(accept_move[:, None], ld_e, s.ld0)
         # beta[c, j_c] = b_star: a no-op write of b0 for non-committing lanes
-        beta = s.beta.at[rows, s.j].set(b_star)
+        beta = self._commit_row(s.beta, s.j, b_star)
 
         logw = s.logw
         if adapt:
             # Robbins-Monro pull of log w_j toward ~3x the accepted move;
-            # drop-mode scatter touches only committing lanes' (c, j) slots
+            # gated one-hot select touches only committing lanes' (c, j)
             # adapt only on accept-with-move commits: a shrink-exhausted
             # commit has move = 0 and would pull log w toward log(1e-6) —
             # a width death-spiral for sticky coordinates
@@ -1018,18 +1076,16 @@ class FreeRunCGGibbs:
             target = jnp.log(self.adapt_c * move + 1e-6)
             lw_j = jnp.take_along_axis(s.logw, s.j[:, None], axis=1)[:, 0]
             new_lw = (1.0 - self._adapt_rate) * lw_j + self._adapt_rate * target
-            jw = jnp.where(accept_move, s.j, self.d)  # out-of-bounds => dropped
-            logw = s.logw.at[rows, jw].set(new_lw, mode="drop")
+            logw = self._commit_row(s.logw, s.j, new_lw, gate=accept_move)
 
         # coordinate / sweep bookkeeping
         nev_new = s.nev + active.astype(jnp.int32)
         j_next = jnp.where(commit, s.j + 1, s.j)
         sweep_done = commit & (j_next >= self.d)
         slot = jnp.where(sweep_done, sweep_count, n_sweeps)  # OOB => dropped
-        draws = draws.at[rows, slot].set(beta, mode="drop")
-        # cumulative evals at each sweep's completion -> honest per-sweep
-        # counts (diff on the host); same drop-scatter as draws
-        nevbuf = nevbuf.at[rows, slot].set(nev_new, mode="drop")
+        draws, nevbuf = self._sweep_buffers(
+            draws, nevbuf, rows, slot, beta, nev_new, sweep_done
+        )
         sweep_count = jnp.where(sweep_done, sweep_count + 1, sweep_count)
         j_next = jnp.where(sweep_done, 0, j_next)
 
@@ -1039,7 +1095,8 @@ class FreeRunCGGibbs:
         so_eff = shrink_only
         if stepout_sweeps is not None and not shrink_only:
             so_eff = sweep_count >= stepout_sweeps
-        reg = self._begin_coord(k_begin, beta, logw, j_next, so_eff)
+        reg = self._begin_coord(key, beta, logw, j_next, so_eff,
+                                ubatch=R4[:, 1:4])
 
         def pick(name, old):
             return jnp.where(commit, reg[name], old)
@@ -1102,8 +1159,11 @@ class FreeRunCGGibbs:
         rows = jnp.arange(C)
         active = sweep_count < n_sweeps
 
-        key, k_u, k_begin = jax.random.split(s.key, 3)
-        U = jax.random.uniform(k_u, (C, K), dtype=dtype)
+        key, k_u = jax.random.split(s.key)
+        # ONE batched uniform block: K shrink proposals + the 3 uniforms
+        # _begin_coord needs (level, position, stepout split)
+        RU = jax.random.uniform(k_u, (C, K + 3), dtype=dtype)
+        U = RU[:, :K]
 
         stepping = s.phase == 0
         left = s.stepdir == 0
@@ -1238,7 +1298,7 @@ class FreeRunCGGibbs:
         delta_star = jnp.where(accept_move, x_star - s.b0,
                                jnp.zeros((), dtype))
         if eta_committed is not None:
-            # pallas2 already applied eta += xg * delta_star in-kernel
+            # pallas2/pallas3 already applied eta += xg * delta_star in-kernel
             eta = eta_committed
         else:
             eta = s.eta + xg * delta_star[:, None]
@@ -1264,7 +1324,7 @@ class FreeRunCGGibbs:
                 self._ld_eta(eta, self.y, self.extra),
                 s.ld0,
             )
-        beta = s.beta.at[rows, s.j].set(b_star)
+        beta = self._commit_row(s.beta, s.j, b_star)
 
         logw = s.logw
         if adapt:
@@ -1272,23 +1332,24 @@ class FreeRunCGGibbs:
             target = jnp.log(self.adapt_c * move + 1e-6)
             lw_j = jnp.take_along_axis(s.logw, s.j[:, None], axis=1)[:, 0]
             new_lw = (1.0 - self._adapt_rate) * lw_j + self._adapt_rate * target
-            jw = jnp.where(accept_move, s.j, self.d)
-            logw = s.logw.at[rows, jw].set(new_lw, mode="drop")
+            logw = self._commit_row(s.logw, s.j, new_lw, gate=accept_move)
 
         consumed = jnp.where(stepping, consumed_step, consumed_sh)
         nev_new = s.nev + jnp.where(active, consumed, 0)
         j_next = jnp.where(commit, s.j + 1, s.j)
         sweep_done = commit & (j_next >= self.d)
         slot = jnp.where(sweep_done, sweep_count, n_sweeps)
-        draws = draws.at[rows, slot].set(beta, mode="drop")
-        nevbuf = nevbuf.at[rows, slot].set(nev_new, mode="drop")
+        draws, nevbuf = self._sweep_buffers(
+            draws, nevbuf, rows, slot, beta, nev_new, sweep_done
+        )
         sweep_count = jnp.where(sweep_done, sweep_count + 1, sweep_count)
         j_next = jnp.where(sweep_done, 0, j_next)
 
         so_eff = shrink_only
         if stepout_sweeps is not None and not shrink_only:
             so_eff = sweep_count >= stepout_sweeps
-        reg = self._begin_coord(k_begin, beta, logw, j_next, so_eff)
+        reg = self._begin_coord(key, beta, logw, j_next, so_eff,
+                                ubatch=RU[:, K:K + 3])
 
         def pick(name, old):
             return jnp.where(commit, reg[name], old)

@@ -73,14 +73,22 @@ def main():
     for spec in variants:
         parts = spec.split(":")
         K, impl = int(parts[0]), parts[1]
-        storage = parts[2] if len(parts) > 2 else "f32"
-        tag = f"K={K} {impl}{'/bf16' if storage == 'bf16' else ''}"
+        storage, bc3 = "f32", None
+        for tok in parts[2:]:
+            if tok == "bf16":
+                storage = "bf16"
+            elif tok.startswith("bc"):
+                bc3 = int(tok[2:])
+        tag = f"K={K} {impl}" + ("/bf16" if storage == "bf16" else "") + (
+            f"/bc{bc3}" if bc3 else "")
         log(f"building {tag}")
         eng = FreeRunCGGibbs(
             X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d),
             tuning={"w": 0.5}, spec_k=K, battery_impl=impl,
             x_storage=storage,
         )
+        if bc3:
+            eng._bc3 = bc3
         state = eng.init(jax.random.key(0), C)
         state, _, _ = eng.warmup(state, 5)
         jax.block_until_ready(state.beta)
@@ -134,13 +142,16 @@ def main():
                 f"({b_gbps:5.1f} GB/s; A-B = {a_us - b_us:.1f} us "
                 "automaton+prior+scatter+dispatch)")
 
-        # C. pure 3-stream HBM floor at this footprint (read 2, write 1)
+        # C. pure 3-stream HBM floor at this footprint (read 2, write 1).
+        # The multiply-accumulate recurrence cannot be strength-reduced
+        # by XLA (a plain acc + c*x2 loop WAS collapsed to acc + P*c*x2,
+        # reporting a fake 4 TB/s in the first version of this probe).
         e2 = jnp.zeros((C, n_pad), jnp.float32)
         x2 = jnp.ones((C, n_pad), jnp.float32)
 
         def hbm(e):
             def body(_, acc):
-                return acc + 0.5 * x2
+                return acc * 0.999 + x2
             return lax.fori_loop(0, P, body, e)
 
         c_us = time_us(jax.jit(hbm), e2, P)
@@ -149,25 +160,49 @@ def main():
             f"({c_gbps:5.1f} GB/s = {100 * c_gbps / HBM_PEAK_GBPS:.0f}% "
             "of 819 peak)")
 
-        # D. the per-pass (C, d) scatters in isolation
+        # D. the per-pass scatters, split: D1 the (C,) beta commit,
+        # D2 the draws+nevbuf drop-scatters (candidates for cond-gating:
+        # they only DO anything on sweep-completion passes)
         rows = jnp.arange(C)
         draws0 = jnp.zeros((C, 1, d), jnp.float32)
 
-        def scatters(beta0):
-            def body(i, carry):
-                beta, draws, nev = carry
+        def beta_scatter(beta0):
+            def body(i, beta):
                 jj = (rows + i) % d
-                beta = beta.at[rows, jj].set(beta[:, 0] + 1e-6)
-                slot = jnp.where(rows < 0, 0, 1)  # all OOB -> dropped
-                draws = draws.at[rows, slot].set(beta, mode="drop")
-                nev = nev + 1
-                return beta, draws, nev
+                return beta.at[rows, jj].set(beta[:, 0] + 1e-6)
+            return lax.fori_loop(0, P, body, beta0)
+
+        d1_us = time_us(jax.jit(beta_scatter), state.beta, P)
+
+        def draw_scatter(beta0):
+            def body(i, carry):
+                draws, nev = carry
+                slot = jnp.where(rows + i < 0, 0, 1)  # all OOB -> dropped
+                draws = draws.at[rows, slot].set(beta0, mode="drop")
+                nev = nev.at[rows, slot].set(i, mode="drop")
+                return draws, nev
             return lax.fori_loop(
-                0, P, body, (beta0, draws0, jnp.zeros((C,), jnp.int32))
+                0, P, body, (draws0, jnp.zeros((C, 1), jnp.int32))
             )[0]
 
-        d_us = time_us(jax.jit(scatters), state.beta, P)
-        log(f"{tag}  D scatters       : {d_us:7.1f} us")
+        d2_us = time_us(jax.jit(draw_scatter), state.beta, P)
+        log(f"{tag}  D scatters       : beta {d1_us:6.1f} us, "
+            f"draws+nev {d2_us:6.1f} us")
+
+        # G. per-pass RNG (split + the four batched draws)
+        def rng(key0):
+            def body(_, key):
+                key, k_u, k_a, k_b, k_c = jax.random.split(key, 5)
+                u = jax.random.uniform(k_u, (C, K), dtype=jnp.float32)
+                lv = jax.random.exponential(k_a, (C,), dtype=jnp.float32)
+                ua = jax.random.uniform(k_b, (C,), dtype=jnp.float32)
+                ub = jax.random.uniform(k_c, (C,), dtype=jnp.float32)
+                return jax.random.fold_in(key, (u[0, 0] + lv[0] + ua[0]
+                                                + ub[0] > 0).astype(int))
+            return lax.fori_loop(0, P, body, key0)
+
+        g_us = time_us(jax.jit(rng), jax.random.key(0), P)
+        log(f"{tag}  G per-pass RNG   : {g_us:7.1f} us")
 
         # E. prior battery  F. proposal recursion
         xs0 = jnp.zeros((C, K), jnp.float32)
