@@ -146,18 +146,24 @@ class FreeRunCGGibbs:
         # x_storage="bf16": the design matrix is ROUNDED to bfloat16 once,
         # up front, and every consumer — the init matvec, the XLA row
         # gathers, AND the pallas3 in-kernel row stream (which then ships
-        # the rows as actual bf16, halving the dominant X-row HBM stream
-        # of the 3-stream pass) — computes in f32 on the SAME rounded
-        # values.  The engine is therefore an EXACT sampler for the
-        # posterior of X' = bf16(X): there is no within-sampler error to
-        # compare against the Exp(1) slice level at all; the only change
-        # is a one-time ~2^-9-relative perturbation of the design (a data
+        # the rows as actual bf16, halving the X-row bytes of the
+        # 3-stream pass) — computes in f32 on the SAME rounded values.
+        # The engine is therefore an EXACT sampler for the posterior of
+        # X' = bf16(X): there is no within-sampler error to compare
+        # against the Exp(1) slice level at all; the only change is a
+        # one-time ~2^-9-relative perturbation of the design (a data
         # change far below measurement error of X in any real dataset;
         # posterior-shift quantified in tests/test_freerun_spec.py).
         # Rounding up front (not per-path) is what avoids the round-3
         # frozen-offset bug class: a MIXED-precision design (f32 init
         # matvec, bf16 updates) would freeze the per-chain residual
         # (X - X') beta0 into eta for the chain's lifetime.
+        # MEASURED (results/round4_pass_budget2.log, n=10k): SLOWER than
+        # f32 on the north-star config — the per-chain row gather is
+        # DMA-latency-bound there, and halving bytes shrinks each DMA
+        # instead of removing any.  Kept as an option for much larger n
+        # (where the row DMAs are big enough to be bandwidth-limited)
+        # and for HBM-capacity-constrained problems; default stays f32.
         if x_storage not in ("f32", "bf16"):
             raise ValueError(
                 f"x_storage must be 'f32' or 'bf16', got {x_storage!r}"
@@ -1207,8 +1213,10 @@ class FreeRunCGGibbs:
         # _battery2_fn (odd chain count, VMEM overflow) drops to the n-tiled
         # one-read battery, whose grid over the observation axis fits any n;
         # a None from _battery_fn drops to the XLA broadcast path.
-        # (pallas3 has no C constraint — grid is (C,) — and its n budget is
-        # checked at construction, so it never falls back.)
+        # (pallas3's n budget is checked at construction and AUTO
+        # selections resolve odd chain counts to "xla" at first init
+        # (_resolve_battery); an EXPLICIT pallas3 request with C % 8 != 0
+        # runs the BC=1 grid — correct but slow, the user's call.)
         battery3 = (
             self._battery3_fn(C) if self.battery_impl == "pallas3" else None
         )
