@@ -546,3 +546,32 @@ class TestBf16XStorage:
                 X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), 4),
                 tuning={"w": 0.5}, x_storage="fp8",
             )
+
+
+def test_commit_row_equals_scatter_semantics():
+    """_commit_row (the one-hot dense select that replaced the serialised
+    TPU scatter) must be element-for-element the scatter it replaced,
+    including the gated form (only gated lanes write)."""
+    import jax.numpy as jnp
+
+    X, y, _ = generate_glm_data("binomial", n=200, d=7, seed=0)
+    fr = FreeRunCGGibbs(
+        X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), 7),
+        tuning={"w": 0.5},
+    )
+    rng = np.random.default_rng(5)
+    C, d = 9, 7
+    arr = jnp.asarray(rng.normal(size=(C, d)).astype(np.float32))
+    j = jnp.asarray(rng.integers(0, d, size=C), jnp.int32)
+    val = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    gate = jnp.asarray(rng.integers(0, 2, size=C).astype(bool))
+
+    rows = jnp.arange(C)
+    want_plain = arr.at[rows, j].set(val)
+    got_plain = fr._commit_row(arr, j, val)
+    assert np.array_equal(np.asarray(want_plain), np.asarray(got_plain))
+
+    jw = jnp.where(gate, j, d)  # the old OOB-drop gating
+    want_gated = arr.at[rows, jw].set(val, mode="drop")
+    got_gated = fr._commit_row(arr, j, val, gate=gate)
+    assert np.array_equal(np.asarray(want_gated), np.asarray(got_gated))
