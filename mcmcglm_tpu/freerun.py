@@ -1116,18 +1116,26 @@ class FreeRunCGGibbs:
             in_shrink, x_shrink, jnp.where(stepdir == 0, L, R)
         )
 
+        # freeze INACTIVE lanes' automaton registers (see the identical
+        # block in _pass_spec: idle lanes that burned their shrink budget
+        # at a run boundary spuriously exhaust-committed b0 on resume,
+        # freezing the post-wrap coordinate — the intercept)
+        def keep(new, old):
+            return jnp.where(active, new, old)
+
         new_state = FreeRunState(
             beta=beta, eta=eta, ld0=ld0, key=key, logw=logw,
             j=j_next,
-            phase=pick("phase", phase),
-            stepdir=pick("stepdir", stepdir),
+            phase=keep(pick("phase", phase), s.phase),
+            stepdir=keep(pick("stepdir", stepdir), s.stepdir),
             level=pick("level", s.level),
-            L=pick("L", L), R=pick("R", R),
-            budL=pick("budL", budL), budR=pick("budR", budR),
+            L=keep(pick("L", L), s.L), R=keep(pick("R", R), s.R),
+            budL=keep(pick("budL", budL), s.budL),
+            budR=keep(pick("budR", budR), s.budR),
             b0=pick("b0", s.b0), lp0=pick("lp0", s.lp0),
             w=pick("w", s.w),
-            xprop=pick("xprop", xprop_nc),
-            n_shrink=pick("n_shrink", n_shrink),
+            xprop=keep(pick("xprop", xprop_nc), s.xprop),
+            n_shrink=keep(pick("n_shrink", n_shrink), s.n_shrink),
             nev=nev_new,
         )
         return new_state, sweep_count, draws, nevbuf
@@ -1361,18 +1369,36 @@ class FreeRunCGGibbs:
 
         def pick(name, old):
             return jnp.where(commit, reg[name], old)
+
+        # INACTIVE lanes (sweep quota filled; idling while slower chains
+        # finish) must not advance their automaton registers: their
+        # evaluations are discarded, but letting them shrink their
+        # interval / burn their shrink budget while idle meant that at
+        # the NEXT run's first pass they resumed with rem=0 and
+        # spuriously exhaust-committed b0 — and since an idle lane
+        # always sits on the first coordinate after its sweep wrapped
+        # (j=0), the INTERCEPT froze for every chain that idled >=
+        # max_shrink evaluations in a boundary tail.  At pod scale with
+        # thin=1 collection (149 boundaries) this froze j=0 for 43% of
+        # 4096 chains (pooled R-hat 14; results/round4_pod_diag.log).
+        # Freezing the registers keeps the lane's coordinate draw intact
+        # across the boundary — it resumes exactly where it paused.
+        def keep(new, old):
+            return jnp.where(active, new, old)
+
         new_state = FreeRunState(
             beta=beta, eta=eta, ld0=ld0, key=key, logw=logw,
             j=j_next,
-            phase=pick("phase", phase),
-            stepdir=pick("stepdir", stepdir),
+            phase=keep(pick("phase", phase), s.phase),
+            stepdir=keep(pick("stepdir", stepdir), s.stepdir),
             level=pick("level", s.level),
-            L=pick("L", L), R=pick("R", R),
-            budL=pick("budL", budL), budR=pick("budR", budR),
+            L=keep(pick("L", L), s.L), R=keep(pick("R", R), s.R),
+            budL=keep(pick("budL", budL), s.budL),
+            budR=keep(pick("budR", budR), s.budR),
             b0=pick("b0", s.b0), lp0=pick("lp0", s.lp0),
             w=pick("w", s.w),
             xprop=pick("xprop", s.xprop),  # unused in spec mode
-            n_shrink=pick("n_shrink", n_shrink),
+            n_shrink=keep(pick("n_shrink", n_shrink), s.n_shrink),
             nev=nev_new,
         )
         return new_state, sweep_count, draws, nevbuf

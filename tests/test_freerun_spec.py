@@ -575,3 +575,56 @@ def test_commit_row_equals_scatter_semantics():
     want_gated = arr.at[rows, jw].set(val, mode="drop")
     got_gated = fr._commit_row(arr, j, val, gate=gate)
     assert np.array_equal(np.asarray(want_gated), np.asarray(got_gated))
+
+
+def test_idle_lanes_do_not_burn_shrink_budget_across_boundaries():
+    """Regression (round-4 pod anomaly, results/round4_pod_diag.log):
+    after a chain fills its sweep quota it idles while slower chains
+    finish; its automaton must FREEZE — previously the idle lane kept
+    shrinking its interval and burning its shrink budget, so at the next
+    run boundary it resumed with rem=0 and exhaust-committed b0, skipping
+    the first coordinate after the sweep wrap (the intercept) for every
+    chain that idled long enough; at pod scale (thin=1, 149 boundaries)
+    this FROZE the intercept outright for 43% of 4096 chains.  Provoked
+    here with a tiny max_shrink, many chains (long boundary tails
+    relative to d) and many one-sweep boundaries; the metric is the
+    intercept MOVE RATE across boundaries (pre-fix ~0.45 here; the
+    slice draw virtually always moves, so post-fix it must be ~1)."""
+    X, y, _ = generate_glm_data("binomial", n=400, d=3, seed=1)
+    fr = FreeRunCGGibbs(
+        X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), 3),
+        tuning={"w": 0.5}, spec_k=4, max_shrink=16,
+    )
+    st = fr.init(jax.random.key(0), 256)
+    st, _, _ = fr.warmup(st, 20)
+    kept = []
+    for _ in range(30):  # 30 one-sweep run boundaries
+        st, draws, _ = fr.run(st, 1)
+        kept.append(np.asarray(draws))
+    col0 = np.concatenate(kept, axis=1)[:, :, 0]  # (C, 30) intercept
+    moved = np.abs(np.diff(col0, axis=1)) > 0
+    move_rate = float(moved.mean())
+    assert move_rate > 0.95, f"intercept move rate {move_rate:.3f}"
+
+
+def test_idle_lanes_never_saturate_shrink_budget():
+    """Mechanism-level invariant for the same regression: the persisted
+    n_shrink register can never reach max_shrink — an active lane that
+    would reach it exhaust-commits (and resets) within the same pass, and
+    idle lanes are frozen.  Pre-fix, idle lanes' n_shrink saturated AT
+    max_shrink across run boundaries (the freeze precondition)."""
+    X, y, _ = generate_glm_data("binomial", n=400, d=3, seed=1)
+    fr = FreeRunCGGibbs(
+        X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), 3),
+        tuning={"w": 0.5}, spec_k=4, max_shrink=8,
+    )
+    st = fr.init(jax.random.key(0), 256)
+    st, _, _ = fr.warmup(st, 10)
+    worst = 0
+    for _ in range(10):
+        st, _, _ = fr.run(st, 1)
+        worst = max(worst, int(np.asarray(st.n_shrink).max()))
+    assert worst < fr.max_shrink, (
+        f"persisted n_shrink reached {worst} (max_shrink {fr.max_shrink}): "
+        "idle lanes are burning shrink budget across boundaries"
+    )
