@@ -70,3 +70,32 @@ class TestRunThinned:
         s = pooled_summary(ChainMoments(mom.count[0], mom.mean, mom.m2))
         assert np.isfinite(np.asarray(s["mean"])).all()
         assert np.asarray(draws).shape == (8, 10, 3)
+
+
+def test_sharded_thin1_boundaries_intercept_mixes():
+    """Pod-collection regression (round-4 boundary-idle bug): the sharded
+    engine driven exactly like the pod config — run_thinned(thin=1),
+    one-sweep dispatches, streaming moments — must keep the intercept
+    mixing in every chain (pre-fix: pooled R-hat 14, 43% of chains
+    frozen at pod scale; results/round4_pod_diag.log)."""
+    import mcmcglm_tpu as mg
+    from mcmcglm_tpu.datagen import generate_glm_data
+    from mcmcglm_tpu.parallel.freerun_sharded import ShardedFreeRunCGGibbs
+    from mcmcglm_tpu.parallel.pooled import pooled_summary
+
+    X, y, _ = generate_glm_data("binomial", n=500, d=5, seed=0)
+    eng = ShardedFreeRunCGGibbs(
+        X, y, "binomial", mg.make_beta_prior(mg.Normal(0, 1), 5),
+        tuning={"w": 0.5}, spec_k=4,
+    )
+    st = eng.init(jax.random.key(0), 32)
+    st, _, _ = eng.warmup(st, 20)
+    mom, parts = None, []
+    for _ in range(25):
+        st, mom, dr, _ = eng.run_thinned(st, n_outer=1, thin=1, moments=mom)
+        parts.append(np.asarray(dr))
+    draws = np.concatenate(parts, axis=1)
+    rhat = np.asarray(jax.jit(pooled_summary)(mom)["rhat"])
+    frozen = int((draws[:, :, 0].std(axis=1) < 1e-7).sum())
+    assert frozen == 0
+    assert float(rhat.max()) < 1.3
