@@ -129,6 +129,13 @@ def main():
     on_accel = backend != "cpu"
     # BASELINE north-star config (scaled down on CPU so CI-ish runs finish)
     if on_accel:
+        # C=256: the round-4 chain-count probe (results/
+        # round4_c_scaling.log) put C=512 ~8% ahead on C*sweeps/s in its
+        # own session, but two full bench sessions at C=512 measured
+        # 1104 min-ESS/s (3.02 sweeps/s, twice, independently) vs 1226
+        # at C=256 (6.97 sweeps/s, twice) — the bench protocol's chunked
+        # collection favors the smaller state footprint, so the bench
+        # stays at the measured optimum (round4_bench_s6/s7 logs).
         n, d, n_chains, burnin, timed_sweeps = 10_000, 1000, 256, 30, 120
         np_sweeps = 2
     else:
