@@ -628,3 +628,32 @@ def test_idle_lanes_never_saturate_shrink_budget():
         f"persisted n_shrink reached {worst} (max_shrink {fr.max_shrink}): "
         "idle lanes are burning shrink budget across boundaries"
     )
+
+
+def test_pass_hlo_scatter_budget():
+    """Structural performance guard (like the zero-collective HLO test,
+    tests/test_sharding.py): the compiled pass may contain AT MOST the
+    two cond-gated sweep-buffer scatters (draws + nevbuf).  The beta and
+    logw commits are one-hot dense selects — XLA's TPU scatter lowering
+    serialises row updates and cost 20 us/pass before round 4
+    (results/round4_pass_budget2.log); reintroducing a per-pass scatter
+    would silently regress the pass by ~30%."""
+    import re
+    from functools import partial
+
+    X, y, _ = generate_glm_data("binomial", n=300, d=6, seed=0)
+    fr = FreeRunCGGibbs(
+        X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), 6),
+        tuning={"w": 0.5}, spec_k=4,
+    )
+    st = fr.init(jax.random.key(0), 8)
+    txt = jax.jit(partial(
+        fr._run, n_sweeps=2, adapt=True, shrink_only=False,
+        stepout_sweeps=1,
+    )).lower(st).compile().as_text()
+    n_scatter = len(re.findall(r"scatter\(", txt))
+    assert n_scatter <= 2, (
+        f"{n_scatter} scatter ops in the pass HLO (expected <=2: the "
+        "gated draws/nevbuf sweep buffers) — a commit path regressed "
+        "to scatter"
+    )
