@@ -1431,9 +1431,10 @@ class FreeRunCGGibbs:
 
     def _run_pass_block(self, state: FreeRunState, sweep_count, *,
                         n_sweeps: int, n_passes: int, adapt: bool,
-                        shrink_only: bool, stepout_sweeps=None):
+                        shrink_only: bool, stepout_sweeps=None,
+                        draws=None, nevbuf=None):
         """Advance by at most ``n_passes`` device passes toward a quota of
-        ``n_sweeps`` completed sweeps per chain, WITHOUT collecting draws.
+        ``n_sweeps`` completed sweeps per chain.
 
         Unlike :meth:`_run`, the loop condition also bounds the pass count
         and ``sweep_count`` is a carried argument, so a long run can be
@@ -1441,10 +1442,18 @@ class FreeRunCGGibbs:
         enforce per-dispatch RPC deadlines).  Sweep-granular dispatching
         pays the cross-chain sweep tail (the slowest lane's evaluation
         count) on EVERY dispatch; a pass-granular dispatch pays it once at
-        the end of the whole run — the pod-scale warmup mode."""
+        the end of the whole run — the pod-scale mode.
+
+        ``draws``/``nevbuf`` optionally carry REAL collection buffers
+        ((C, n_sweeps, d) / (C, n_sweeps)) across dispatches (the
+        :meth:`run_passes` collection mode); when None, dummy 1-slot
+        buffers make this a pure advance (the warmup mode)."""
         C = state.beta.shape[0]
-        draws0 = jnp.zeros((C, 1, self.d), self.dtype)
-        nevbuf0 = jnp.zeros((C, 1), jnp.int32)
+        collect = draws is not None
+        if draws is None:
+            draws = jnp.zeros((C, 1, self.d), self.dtype)
+        if nevbuf is None:
+            nevbuf = jnp.zeros((C, draws.shape[1]), jnp.int32)
 
         def cond(carry):
             _, sweep_count, _, _, p = carry
@@ -1459,11 +1468,54 @@ class FreeRunCGGibbs:
             )
             return s, sweep_count, draws, nevbuf, p + 1
 
-        state, sweep_count, _, _, _ = lax.while_loop(
+        state, sweep_count, draws, nevbuf, _ = lax.while_loop(
             cond, body,
-            (state, sweep_count, draws0, nevbuf0, jnp.zeros((), jnp.int32)),
+            (state, sweep_count, draws, nevbuf, jnp.zeros((), jnp.int32)),
         )
+        if collect:
+            return state, sweep_count, draws, nevbuf
         return state, sweep_count
+
+    def run_passes(self, state: FreeRunState, sweep_count, draws, nevbuf,
+                   n_sweeps: int, n_passes: int):
+        """Pass-bounded, barrier-free sampling collection (pod mode).
+
+        Advances at most ``n_passes`` device passes toward ``n_sweeps``
+        completed sweeps per chain, recording every completed sweep's
+        draw into the CARRIED ``draws`` (C, n_sweeps, d) buffer (device-
+        resident across dispatches; pass ``None`` to allocate).  Unlike
+        chunked :meth:`run` / thin=1 :meth:`run_thinned` — which impose a
+        full cross-chain barrier at every chunk boundary, paying the
+        slowest lane's tail per chunk (~10-15% of pod wall-clock at
+        C=4096) — chains here run FREELY across sweep boundaries for the
+        whole collection; the single tail is paid once at the very end.
+        Call repeatedly until ``(sweep_count >= n_sweeps).all()``:
+
+            sc, draws, nevbuf = None, None, None
+            while True:
+                state, sc, draws, nevbuf = eng.run_passes(
+                    state, sc, draws, nevbuf, n_sweeps, n_passes)
+                if (np.asarray(sc) >= n_sweeps).all():
+                    break
+
+        Identical in law to :meth:`run` (same per-pass kernel; same
+        drop-mode sweep recording)."""
+        C = int(state.beta.shape[0])
+        if sweep_count is None:
+            sweep_count = jnp.zeros((C,), jnp.int32)
+        if draws is None:
+            draws = jnp.zeros((C, n_sweeps, self.d), self.dtype)
+        if nevbuf is None:
+            nevbuf = jnp.zeros((C, n_sweeps), jnp.int32)
+        key_ = ("run_passes", n_sweeps, n_passes, C)
+        fn = self._run_cache.get(key_)
+        if fn is None:
+            fn = jax.jit(partial(
+                self._run_pass_block, n_sweeps=n_sweeps, n_passes=n_passes,
+                adapt=False, shrink_only=self.shrink_only,
+            ))
+            self._run_cache[key_] = fn
+        return fn(state, sweep_count, draws=draws, nevbuf=nevbuf)
 
     def _auto_stepout(self, n_sweeps: int) -> int:
         """Default stepping-out quota for two-phase warmup: a few full

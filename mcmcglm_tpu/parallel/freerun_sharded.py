@@ -211,6 +211,60 @@ class ShardedFreeRunCGGibbs:
             self._fn_cache[key_] = fn
         return fn(state, sweep_count)
 
+    def run_passes(self, state: FreeRunState, sweep_count, draws, nevbuf,
+                   n_sweeps: int, n_passes: int):
+        """Pass-bounded, barrier-free sampling collection per shard (see
+        FreeRunCGGibbs.run_passes): chains run freely across sweep
+        boundaries for the whole collection, and the carried
+        (C, n_sweeps, d) draws buffer stays chain-sharded on device
+        across dispatches — the pod thin=1 collection mode that pays the
+        cross-chain sweep tail ONCE instead of per dispatch.  Pass None
+        for sweep_count/draws/nevbuf to allocate; loop until
+        ``(np.asarray(sweep_count) >= n_sweeps).all()``."""
+        specs = self._specs()
+        C = int(state.beta.shape[0])
+        d = self.inner.d
+        if sweep_count is None:
+            sweep_count = jax.device_put(
+                jnp.zeros((C,), jnp.int32),
+                NamedSharding(self.mesh, P(CHAIN_AXIS)),
+            )
+        if draws is None:
+            draws = jax.device_put(
+                jnp.zeros((C, n_sweeps, d), self.inner.dtype),
+                NamedSharding(self.mesh, P(CHAIN_AXIS, None, None)),
+            )
+        if nevbuf is None:
+            nevbuf = jax.device_put(
+                jnp.zeros((C, n_sweeps), jnp.int32),
+                NamedSharding(self.mesh, P(CHAIN_AXIS, None)),
+            )
+        key_ = ("run_passes", n_sweeps, n_passes, C)
+        fn = self._fn_cache.get(key_)
+        if fn is None:
+
+            def run_shard(st, sc, dr, nb):
+                st2, sc2, dr2, nb2 = self.inner._run_pass_block(
+                    st._replace(key=st.key[0]), sc,
+                    n_sweeps=n_sweeps, n_passes=n_passes,
+                    adapt=False, shrink_only=self.inner.shrink_only,
+                    draws=dr, nevbuf=nb,
+                )
+                return st2._replace(key=st2.key[None]), sc2, dr2, nb2
+
+            fn = jax.jit(
+                shard_map(
+                    run_shard, mesh=self.mesh,
+                    in_specs=(specs, P(CHAIN_AXIS),
+                              P(CHAIN_AXIS, None, None), P(CHAIN_AXIS, None)),
+                    out_specs=(specs, P(CHAIN_AXIS),
+                               P(CHAIN_AXIS, None, None), P(CHAIN_AXIS, None)),
+                ),
+                donate_argnums=(2,),
+            )
+            self._fn_cache[key_] = fn
+        return fn(state, sweep_count, draws, nevbuf)
+
     def run_thinned(self, state: FreeRunState, n_outer: int, thin: int,
                     moments=None):
         """Thinned collection + streaming per-chain Welford moments, per

@@ -31,6 +31,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 import mcmcglm_tpu as mg
@@ -209,32 +210,76 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
             done_w += step
             _log(f"pod: warmup {done_w}/{burnin}")
     warm_s = time.perf_counter() - t0
-    # compile the thinned sampling executable (one outer block)
-    state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin)
-    jax.block_until_ready(dr)
-    _log("pod: thinned executable compiled")
-    nev0 = np.asarray(state.nev).copy()
+    from mcmcglm_tpu.parallel.pooled import ChainMoments
 
-    t0 = time.perf_counter()
-    mom = None  # restart moments for the timed section
-    dparts = []
-    # keep each dispatch well under the RPC deadline (~30 s of sweeps at
-    # the measured pod rate)
-    chunk = max(1, min(16, 32_768 // (n_chains * thin)))
-    done = 1
-    state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin, moments=mom)
-    dparts.append(dr)
-    while done < n_outer:
-        step = min(chunk, n_outer - done)
-        state, mom, dr, _ = eng.run_thinned(state, n_outer=step, thin=thin,
+    if thin == 1:
+        # barrier-free pass-bounded collection (run_passes): chains run
+        # freely across sweep boundaries for the WHOLE timed section —
+        # the per-chunk cross-chain sweep tail (~10-15% of wall-clock at
+        # C=4096) is paid once at the end instead of per dispatch.
+        # Compile + warm OUTSIDE the timed section on a throwaway branch
+        # of the state (arrays are immutable; the real state is untouched
+        # and not donated), so the timed loop hits a hot executable.
+        _st2, _sc2, _dr2, _nb2 = eng.run_passes(state, None, None, None,
+                                                n_outer, 8000)
+        jax.block_until_ready(_st2.beta)
+        del _st2, _sc2, _dr2, _nb2
+        sc, drbuf, nb = None, None, None
+        _log("pod: run_passes executable compiled+warmed (throwaway branch)")
+        nev0 = np.asarray(state.nev).copy()
+        t0 = time.perf_counter()
+        blk = 0
+        while True:
+            state, sc, drbuf, nb = eng.run_passes(state, sc, drbuf, nb,
+                                                  n_outer, 8000)
+            jax.block_until_ready(state.beta)
+            scn = np.asarray(sc)
+            blk += 1
+            _log(f"pod: timed block {blk} (sweeps min {scn.min()} / "
+                 f"median {int(np.median(scn))} / quota {n_outer})")
+            if (scn >= n_outer).all():
+                break
+        jax.block_until_ready(drbuf)
+        dt = time.perf_counter() - t0
+        done = n_outer
+        sweeps = n_outer
+
+        def mom_from_draws(dr):
+            mean = jnp.mean(dr, axis=1)
+            m2 = jnp.sum((dr - mean[:, None, :]) ** 2, axis=1)
+            cnt = jnp.full((dr.shape[0],), float(n_outer), dr.dtype)
+            return ChainMoments(cnt, mean, m2)
+
+        mom = jax.jit(mom_from_draws)(drbuf)
+        draws = np.asarray(drbuf)
+    else:
+        # compile the thinned sampling executable (one outer block)
+        state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin)
+        jax.block_until_ready(dr)
+        _log("pod: thinned executable compiled")
+        nev0 = np.asarray(state.nev).copy()
+
+        t0 = time.perf_counter()
+        mom = None  # restart moments for the timed section
+        dparts = []
+        # keep each dispatch well under the RPC deadline (~30 s of sweeps
+        # at the measured pod rate)
+        chunk = max(1, min(16, 32_768 // (n_chains * thin)))
+        done = 1
+        state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin,
                                             moments=mom)
         dparts.append(dr)
-        done += step
-        _log(f"pod: timed outer {done}/{n_outer}")
-    jax.block_until_ready(dparts)
-    dt = time.perf_counter() - t0
-    sweeps = done * thin
-    draws = np.concatenate([np.asarray(p) for p in dparts], axis=1)
+        while done < n_outer:
+            step = min(chunk, n_outer - done)
+            state, mom, dr, _ = eng.run_thinned(state, n_outer=step,
+                                                thin=thin, moments=mom)
+            dparts.append(dr)
+            done += step
+            _log(f"pod: timed outer {done}/{n_outer}")
+        jax.block_until_ready(dparts)
+        dt = time.perf_counter() - t0
+        sweeps = done * thin
+        draws = np.concatenate([np.asarray(p) for p in dparts], axis=1)
     summ = jax.jit(pooled_summary)(mom)  # sharded reductions -> psums
     pooled_rhat = float(np.max(np.asarray(summ["rhat"])))
     ess = mg.ess(draws)
@@ -242,7 +287,8 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
     evals_per_sweep = float(np.mean(np.asarray(state.nev) - nev0)) / sweeps
     out = {
         "config": "pod_%d_chains_p%d_logistic" % (n_chains, d),
-        "engine": "ShardedFreeRunCGGibbs+run_thinned",
+        "engine": ("ShardedFreeRunCGGibbs+run_passes" if thin == 1
+                   else "ShardedFreeRunCGGibbs+run_thinned"),
         "spec_k": eng.inner.spec_k,
         "battery": eng.inner.battery_impl,
         "chains": n_chains,

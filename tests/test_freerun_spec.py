@@ -657,3 +657,63 @@ def test_pass_hlo_scatter_budget():
         "gated draws/nevbuf sweep buffers) — a commit path regressed "
         "to scatter"
     )
+
+
+def test_run_passes_bitwise_matches_run():
+    """The pass-bounded barrier-free collection (run_passes — the pod
+    thin=1 mode) executes the exact same pass sequence as run(): final
+    state and collected draws bitwise identical, regardless of how the
+    pass budget slices the dispatches."""
+    X, y, _ = generate_glm_data("binomial", n=400, d=6, seed=5)
+
+    def make():
+        return FreeRunCGGibbs(
+            X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), 6),
+            tuning={"w": 0.5}, spec_k=4,
+        )
+
+    fr1 = make()
+    st1 = fr1.init(jax.random.key(7), 8)
+    st1, _, _ = fr1.warmup(st1, 10)
+    st1, draws1, nev1 = fr1.run(st1, 12)
+
+    fr2 = make()
+    st2 = fr2.init(jax.random.key(7), 8)
+    st2, _, _ = fr2.warmup(st2, 10)
+    sc, draws2, nb = None, None, None
+    for _ in range(10_000):
+        st2, sc, draws2, nb = fr2.run_passes(st2, sc, draws2, nb, 12, 37)
+        if (np.asarray(sc) >= 12).all():
+            break
+    else:
+        raise AssertionError("run_passes never completed")
+    assert np.array_equal(np.asarray(st1.beta), np.asarray(st2.beta))
+    assert np.array_equal(np.asarray(draws1), np.asarray(draws2))
+    assert np.array_equal(np.asarray(nev1), np.asarray(nb))
+
+
+def test_sharded_run_passes_collects_and_mixes():
+    """Sharded run_passes over the virtual mesh: draws land in the
+    chain-sharded buffer, every chain completes its quota, and the
+    intercept mixes (the boundary-freeze regression has no boundaries
+    left to bite)."""
+    from mcmcglm_tpu.parallel.freerun_sharded import ShardedFreeRunCGGibbs
+
+    X, y, _ = generate_glm_data("binomial", n=400, d=5, seed=2)
+    eng = ShardedFreeRunCGGibbs(
+        X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), 5),
+        tuning={"w": 0.5}, spec_k=4,
+    )
+    st = eng.init(jax.random.key(0), 32)
+    st, _, _ = eng.warmup(st, 15)
+    sc, draws, nb = None, None, None
+    for _ in range(10_000):
+        st, sc, draws, nb = eng.run_passes(st, sc, draws, nb, 25, 300)
+        if (np.asarray(sc) >= 25).all():
+            break
+    else:
+        raise AssertionError("sharded run_passes never completed")
+    dr = np.asarray(draws)
+    assert dr.shape == (32, 25, 5)
+    assert np.isfinite(dr).all()
+    assert (dr[:, :, 0].std(axis=1) > 1e-7).all()  # intercept moves
