@@ -212,7 +212,7 @@ class ShardedFreeRunCGGibbs:
         return fn(state, sweep_count)
 
     def run_passes(self, state: FreeRunState, sweep_count, draws, nevbuf,
-                   n_sweeps: int, n_passes: int):
+                   n_sweeps: int, n_passes: int, compile_only: bool = False):
         """Pass-bounded, barrier-free sampling collection per shard (see
         FreeRunCGGibbs.run_passes): chains run freely across sweep
         boundaries for the whole collection, and the carried
@@ -220,10 +220,38 @@ class ShardedFreeRunCGGibbs:
         across dispatches — the pod thin=1 collection mode that pays the
         cross-chain sweep tail ONCE instead of per dispatch.  Pass None
         for sweep_count/draws/nevbuf to allocate; loop until
-        ``(np.asarray(sweep_count) >= n_sweeps).all()``."""
+        ``(np.asarray(sweep_count) >= n_sweeps).all()``.
+
+        ``compile_only=True`` lowers + compiles the executable from
+        ABSTRACT inputs (no buffer allocation, no execution) and returns
+        None — warming the persistent compile cache without touching
+        device memory (a throwaway warm-up EXECUTION doubles the peak
+        draws-buffer footprint, which OOM'd a 4096-chain pod session on
+        a device left fragmented by a prior crash)."""
         specs = self._specs()
         C = int(state.beta.shape[0])
         d = self.inner.d
+        if compile_only:
+            def sds(spec, shape, dtype):
+                return jax.ShapeDtypeStruct(
+                    shape, dtype, sharding=NamedSharding(self.mesh, spec)
+                )
+
+            st_sds = jax.tree.map(
+                lambda x, sp: jax.ShapeDtypeStruct(
+                    x.shape, x.dtype, sharding=NamedSharding(self.mesh, sp)
+                ),
+                state, specs,
+            )
+            fn = self._run_passes_fn(n_sweeps, n_passes, C)
+            fn.lower(
+                st_sds,
+                sds(P(CHAIN_AXIS), (C,), jnp.int32),
+                sds(P(CHAIN_AXIS, None, None), (C, n_sweeps, d),
+                    self.inner.dtype),
+                sds(P(CHAIN_AXIS, None), (C, n_sweeps), jnp.int32),
+            ).compile()
+            return None
         if sweep_count is None:
             sweep_count = jax.device_put(
                 jnp.zeros((C,), jnp.int32),
@@ -239,6 +267,11 @@ class ShardedFreeRunCGGibbs:
                 jnp.zeros((C, n_sweeps), jnp.int32),
                 NamedSharding(self.mesh, P(CHAIN_AXIS, None)),
             )
+        fn = self._run_passes_fn(n_sweeps, n_passes, C)
+        return fn(state, sweep_count, draws, nevbuf)
+
+    def _run_passes_fn(self, n_sweeps: int, n_passes: int, C: int):
+        specs = self._specs()
         key_ = ("run_passes", n_sweeps, n_passes, C)
         fn = self._fn_cache.get(key_)
         if fn is None:
@@ -263,7 +296,7 @@ class ShardedFreeRunCGGibbs:
                 donate_argnums=(2,),
             )
             self._fn_cache[key_] = fn
-        return fn(state, sweep_count, draws, nevbuf)
+        return fn
 
     def run_thinned(self, state: FreeRunState, n_outer: int, thin: int,
                     moments=None):

@@ -217,21 +217,19 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
         # freely across sweep boundaries for the WHOLE timed section —
         # the per-chunk cross-chain sweep tail (~10-15% of wall-clock at
         # C=4096) is paid once at the end instead of per dispatch.
-        # Compile + warm OUTSIDE the timed section on a throwaway branch
-        # of the state (arrays are immutable; the real state is untouched
-        # and not donated), so the timed loop hits a hot executable.
-        _st2, _sc2, _dr2, _nb2 = eng.run_passes(state, None, None, None,
-                                                n_outer, 8000)
-        jax.block_until_ready(_st2.beta)
-        del _st2, _sc2, _dr2, _nb2
+        # Compile OUTSIDE the timed section from abstract shapes (no
+        # allocation, no execution): warms the persistent compile cache;
+        # the timed loop's first call then loads from disk in seconds.
+        eng.run_passes(state, None, None, None, n_outer, 4000,
+                       compile_only=True)
         sc, drbuf, nb = None, None, None
-        _log("pod: run_passes executable compiled+warmed (throwaway branch)")
+        _log("pod: run_passes executable compiled (abstract warm)")
         nev0 = np.asarray(state.nev).copy()
         t0 = time.perf_counter()
         blk = 0
         while True:
             state, sc, drbuf, nb = eng.run_passes(state, sc, drbuf, nb,
-                                                  n_outer, 8000)
+                                                  n_outer, 4000)
             jax.block_until_ready(state.beta)
             scn = np.asarray(sc)
             blk += 1
