@@ -166,14 +166,15 @@ def run_config(name, family, n, d, prior, w, n_chains, burnin, timed,
 def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
                     wu_passes=1500):
     """Config #5: massive chain count on the flagship free-running engine,
-    chain-sharded over the device mesh (zero collectives), with thinned
-    collection + streaming per-chain Welford moments merged into pooled
-    R-hat on device (parallel/pooled.py).  Runs the FULL flagship
-    optimization: K-speculative Pallas batteries (engine_opts) and
-    pass-bounded warmup dispatches (warmup_passes), which keep every
-    dispatch under the remote-runtime RPC deadline WITHOUT paying the
-    cross-chain sweep tail per dispatch (the round-2 1-sweep-per-dispatch
-    workaround spent 337 s warming 30 sweeps)."""
+    chain-sharded over the device mesh (zero collectives), with pooled
+    R-hat computed on device (parallel/pooled.py).  Runs the FULL
+    flagship optimization: K-speculative Pallas batteries (engine_opts),
+    pass-bounded warmup dispatches (warmup_passes), and — for thin=1 —
+    the barrier-free run_passes collection, where chains run freely
+    across sweep boundaries for the whole timed section and the
+    cross-chain sweep tail is paid ONCE (chunked run_thinned pays it per
+    dispatch; it remains the thin>1 memory-bounded mode).  Every
+    dispatch stays under the remote-runtime RPC deadline."""
     from mcmcglm_tpu.parallel.freerun_sharded import ShardedFreeRunCGGibbs
 
     X, y, beta_true = generate_glm_data("binomial", n=n, d=d, seed=0)
