@@ -218,6 +218,10 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
         # freely across sweep boundaries for the WHOLE timed section —
         # the per-chunk cross-chain sweep tail (~10-15% of wall-clock at
         # C=4096) is paid once at the end instead of per dispatch.
+        # 1500 passes/dispatch (the warmup block size): 4000-pass
+        # dispatches crossed the ~60 s remote RPC deadline whenever the
+        # tunnel window degraded mid-run (three UNAVAILABLE deaths at the
+        # same progress point, round4_pod_v2_transcript.log).
         # Compile OUTSIDE the timed section from abstract shapes (no
         # allocation, no execution): warms the persistent compile cache;
         # the timed loop's first call then loads from disk in seconds.
@@ -230,7 +234,7 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
         blk = 0
         while True:
             state, sc, drbuf, nb = eng.run_passes(state, sc, drbuf, nb,
-                                                  n_outer, 4000)
+                                                  n_outer, 1500)
             jax.block_until_ready(state.beta)
             scn = np.asarray(sc)
             blk += 1
