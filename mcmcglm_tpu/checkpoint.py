@@ -131,13 +131,18 @@ class CheckpointManager:
         except Exception as exc:
             # pre-format-tag checkpoints (rounds 1-2) fail the structure
             # match on the missing "format" key: refuse with the reason
-            # instead of orbax's opaque tree-mismatch error
-            raise ValueError(
-                f"checkpoint at step {step} could not be restored — likely "
-                f"written before format tagging (format {CHECKPOINT_FORMAT} "
-                "required; freerun ld0 semantics changed from absolute to "
-                f"relative log density): {exc}"
-            ) from exc
+            # instead of orbax's opaque tree-mismatch error.  Attach that
+            # hint ONLY when the failure actually names the format key —
+            # disk corruption, partial step dirs and sharding mismatches
+            # must surface unrebranded or they misdirect debugging.
+            if "format" in str(exc):
+                raise ValueError(
+                    f"checkpoint at step {step} could not be restored — "
+                    "likely written before format tagging (format "
+                    f"{CHECKPOINT_FORMAT} required; freerun ld0 semantics "
+                    f"changed from absolute to relative log density): {exc}"
+                ) from exc
+            raise
         fmt = int(payload["format"])
         if fmt != CHECKPOINT_FORMAT:
             raise ValueError(

@@ -470,13 +470,25 @@ class FreeRunCGGibbs:
                 return True  # per-C fallback chain decides at run time
             jax.jit(fn).lower(*args)
             return True
-        except Exception:
+        except (NotImplementedError, ValueError, TypeError) as exc:
             # NotImplementedError is Mosaic's usual "Unimplemented
-            # primitive" signal, but lowering failures also surface as
-            # wrapped LoweringError/ValueError types depending on the JAX
-            # version — auto mode must degrade to the XLA battery for ALL
-            # of them rather than crash engine construction.  Explicitly
-            # requested Pallas impls still fail loudly at first use.
+            # primitive" signal; lowering failures also surface as wrapped
+            # LoweringError (a ValueError subclass) / TypeError depending
+            # on the JAX version — auto mode degrades to the XLA battery
+            # for these, WARNING which exception triggered the demotion so
+            # a genuine bug introduced in a battery doesn't silently ship
+            # as a perf regression.  Explicitly requested Pallas impls
+            # still fail loudly at first use; unknown exception types
+            # propagate.
+            import warnings
+
+            warnings.warn(
+                f"auto battery selection: {self.battery_impl!r} failed to "
+                f"lower ({type(exc).__name__}: {exc}); falling back to the "
+                "XLA battery",
+                RuntimeWarning,
+                stacklevel=3,
+            )
             return False
         finally:
             self._battery_cache.clear()  # drop the C=8 probe builds
@@ -1510,12 +1522,21 @@ class FreeRunCGGibbs:
         key_ = ("run_passes", n_sweeps, n_passes, C)
         fn = self._run_cache.get(key_)
         if fn is None:
-            fn = jax.jit(partial(
-                self._run_pass_block, n_sweeps=n_sweeps, n_passes=n_passes,
-                adapt=False, shrink_only=self.shrink_only,
-            ))
+            # draws rides positionally WITH donation: carried as an
+            # undonated kwarg, each dispatch holds input + output copies of
+            # the (C, n_sweeps, d) buffer (~2x peak, ~5 GB at the
+            # C=4096/n_sweeps=150/d=1000 pod scale) — the sharded variant
+            # donates it for exactly this reason (freerun_sharded.py).
+            def impl(st, sc, dr, nb):
+                return self._run_pass_block(
+                    st, sc, n_sweeps=n_sweeps, n_passes=n_passes,
+                    adapt=False, shrink_only=self.shrink_only,
+                    draws=dr, nevbuf=nb,
+                )
+
+            fn = jax.jit(impl, donate_argnums=(2,))
             self._run_cache[key_] = fn
-        return fn(state, sweep_count, draws=draws, nevbuf=nevbuf)
+        return fn(state, sweep_count, draws, nevbuf)
 
     def _auto_stepout(self, n_sweeps: int) -> int:
         """Default stepping-out quota for two-phase warmup: a few full

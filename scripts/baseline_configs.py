@@ -225,7 +225,12 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
         # Compile OUTSIDE the timed section from abstract shapes (no
         # allocation, no execution): warms the persistent compile cache;
         # the timed loop's first call then loads from disk in seconds.
-        eng.run_passes(state, None, None, None, n_outer, 4000,
+        # ONE constant for warm + dispatch: n_passes is baked into the
+        # jitted executable (and its cache key), so warming a different
+        # pass count would compile the wrong program and the first timed
+        # dispatch would pay a full compile inside the timed section.
+        run_block_passes = 1500
+        eng.run_passes(state, None, None, None, n_outer, run_block_passes,
                        compile_only=True)
         sc, drbuf, nb = None, None, None
         _log("pod: run_passes executable compiled (abstract warm)")
@@ -234,7 +239,7 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
         blk = 0
         while True:
             state, sc, drbuf, nb = eng.run_passes(state, sc, drbuf, nb,
-                                                  n_outer, 1500)
+                                                  n_outer, run_block_passes)
             jax.block_until_ready(state.beta)
             scn = np.asarray(sc)
             blk += 1
