@@ -195,6 +195,15 @@ def mcmcglm(
             use_freerun = freerun_eligible
         elif engine != "xla":
             raise ValueError("engine must be 'auto', 'freerun', 'xla' or 'fused'")
+    elif sample_method == "normal-normal" and engine == "freerun":
+        # exact conjugate coordinate draws inside the freerun pass loop
+        # (gaussian/identity + diagonal normal prior; the reference's
+        # normal-normal coordinate sampler, R/sampling.R:19-35, at one
+        # device pass per coordinate — ops/freerun_conjugate.py).
+        # engine='auto' keeps the factored CGGibbs conjugate path (the
+        # validation oracle, engine.py), matching the reference's framing
+        # of normal-normal as the testing method (R/mcmcglm.R:32-34).
+        use_freerun = True
 
     if use_fused:
         from .fused import FusedCGGibbs
@@ -210,7 +219,9 @@ def mcmcglm(
         )
     elif use_freerun:
         engine_opts = dict(engine_opts or {})
-        if "spec_k" not in engine_opts and jax.default_backend() != "cpu":
+        if sample_method == "normal-normal":
+            engine_opts["coord_sampler"] = "conjugate"
+        elif "spec_k" not in engine_opts and jax.default_backend() != "cpu":
             # accelerator default: K-speculative batteries through the
             # fused Pallas evaluator — ~2.0x the classic pass on the
             # north-star config (results/README.md ladder), identical in

@@ -131,7 +131,27 @@ class FreeRunCGGibbs:
         spec_k: int = 1,
         battery_impl: str = "auto",
         x_storage: str = "f32",
+        coord_sampler: str = "slice",
     ):
+        # coord_sampler="conjugate": exact normal coordinate conditionals
+        # (gaussian family + identity link + diagonal normal prior only;
+        # the reference's "normal-normal" validation path, R/sampling.R:
+        # 19-35, at freerun pass rates).  One pass per coordinate, no
+        # slice machinery — see ops/freerun_conjugate.py.
+        if coord_sampler not in ("slice", "conjugate"):
+            raise ValueError(
+                f"coord_sampler must be 'slice' or 'conjugate', got "
+                f"{coord_sampler!r}"
+            )
+        self.coord_sampler = coord_sampler
+        if coord_sampler == "conjugate":
+            if battery_impl not in ("auto", "xla"):
+                raise ValueError(
+                    "coord_sampler='conjugate' does not use the slice "
+                    "proposal batteries; drop battery_impl="
+                    f"{battery_impl!r}"
+                )
+            battery_impl = "xla"  # no Pallas padding / 3-D eta layout
         self.family: Family = check_family(family)
         # The engine only ever COMPARES log densities across eta values
         # (slice level tests; the committed-state cache is differenced),
@@ -189,12 +209,12 @@ class FreeRunCGGibbs:
         self.y = jnp.asarray(y, dtype).reshape(-1)
         self.extra = {k: jnp.asarray(v, dtype) for k, v in dict(extra or {}).items()}
         tuning = dict(tuning or {})
-        if "w" not in tuning:
+        if "w" not in tuning and coord_sampler == "slice":
             raise ValueError(
                 "A tuning parameter for the slice kernel is missing: ['w'] "
                 "required by 'stepping_out'"
             )
-        self.w0 = float(tuning["w"])
+        self.w0 = float(tuning.get("w", 1.0))  # unused by 'conjugate'
         user_reduce_fn = reduce_fn is not None
         if obs_weights is not None:
             ow = jnp.asarray(obs_weights, dtype).reshape(-1)
@@ -282,6 +302,16 @@ class FreeRunCGGibbs:
         self.adapt_c = float(
             self._adapt_c_arg if self._adapt_c_arg is not None else 40.0
         )
+        if coord_sampler == "conjugate":
+            from .ops.freerun_conjugate import conjugate_params
+
+            m, s2 = conjugate_params(self)
+            self._conj_m = jnp.asarray(m, dtype)
+            self._conj_s2 = jnp.asarray(s2, dtype)
+            # sum_i w_i x_ij^2, the static part of the conditional precision
+            self._conj_sxx = self.reduce_fn(self.Xt**2)  # (d,)
+            sd = self.extra.get("sd", jnp.asarray(1.0, dtype))
+            self._conj_inv_sigma2 = 1.0 / (sd * sd)
 
     def _battery_lowerable(self) -> bool:
         """Compile-free probe of whether the selected Pallas battery's
@@ -511,6 +541,20 @@ class FreeRunCGGibbs:
         return run_pass_spec(self, s, sweep_count, draws, nevbuf, n_sweeps,
                              adapt, shrink_only, stepout_sweeps)
 
+    def _pass_conj(self, s, sweep_count, draws, nevbuf, n_sweeps, adapt,
+                   shrink_only, stepout_sweeps=None):
+        """One exact conjugate coordinate draw per chain per pass."""
+        from .ops.freerun_conjugate import run_pass_conj
+
+        return run_pass_conj(self, s, sweep_count, draws, nevbuf, n_sweeps,
+                             adapt, shrink_only, stepout_sweeps)
+
+    def _step_fn(self):
+        """The per-pass kernel for this engine's configuration."""
+        if self.coord_sampler == "conjugate":
+            return self._pass_conj
+        return self._pass_spec if self.spec_k > 1 else self._pass
+
     # -- runs -------------------------------------------------------------
 
     def _run(self, state: FreeRunState, n_sweeps: int, adapt: bool,
@@ -523,14 +567,12 @@ class FreeRunCGGibbs:
             _, sweep_count, _, _ = carry
             return jnp.any(sweep_count < n_sweeps)
 
+        step = self._step_fn()
+
         def body(carry):
             s, sweep_count, draws, nevbuf = carry
-            if self.spec_k > 1:
-                return self._pass_spec(s, sweep_count, draws, nevbuf,
-                                       n_sweeps, adapt, shrink_only,
-                                       stepout_sweeps)
-            return self._pass(s, sweep_count, draws, nevbuf, n_sweeps,
-                              adapt, shrink_only, stepout_sweeps)
+            return step(s, sweep_count, draws, nevbuf, n_sweeps, adapt,
+                        shrink_only, stepout_sweeps)
 
         state, _, draws, nevbuf = lax.while_loop(
             cond, body, (state, jnp.zeros((C,), jnp.int32), draws0, nevbuf0)
@@ -567,9 +609,10 @@ class FreeRunCGGibbs:
             _, sweep_count, _, _, p = carry
             return jnp.any(sweep_count < n_sweeps) & (p < n_passes)
 
+        step = self._step_fn()
+
         def body(carry):
             s, sweep_count, draws, nevbuf, p = carry
-            step = self._pass_spec if self.spec_k > 1 else self._pass
             s, sweep_count, draws, nevbuf = step(
                 s, sweep_count, draws, nevbuf, n_sweeps, adapt, shrink_only,
                 stepout_sweeps
