@@ -230,15 +230,32 @@ def mcmcglm(
             # evaluations cost wall-clock instead of riding free.
             engine_opts["spec_k"] = 4
         if mesh is not None:
-            # chain-sharded free-running over the mesh (one independent
-            # automaton per device, zero collectives)
-            from .parallel.freerun_sharded import ShardedFreeRunCGGibbs
+            from .parallel.mesh import OBS_AXIS
 
-            sampler = ShardedFreeRunCGGibbs(
-                design.X, design.y, fam, prior, mesh=mesh, extra=extra,
-                tuning=tuning, obs_weights=weights, dtype=dtype,
-                offset=design.offset, **dict(engine_opts or {}),
-            )
+            if mesh.shape.get(OBS_AXIS, 1) > 1:
+                # (chain x obs) mesh: the tall-data fast path — per-shard
+                # partial log-lik sums psum'd over the obs axis each pass
+                # (the Pallas batteries are layout-incompatible; the
+                # obs-sharded class pins the XLA battery itself)
+                from .parallel.freerun_obs_sharded import (
+                    ObsShardedFreeRunCGGibbs,
+                )
+
+                sampler = ObsShardedFreeRunCGGibbs(
+                    design.X, design.y, fam, prior, mesh=mesh, extra=extra,
+                    tuning=tuning, obs_weights=weights, dtype=dtype,
+                    offset=design.offset, **dict(engine_opts or {}),
+                )
+            else:
+                # chain-sharded free-running over the mesh (one independent
+                # automaton per device, zero collectives)
+                from .parallel.freerun_sharded import ShardedFreeRunCGGibbs
+
+                sampler = ShardedFreeRunCGGibbs(
+                    design.X, design.y, fam, prior, mesh=mesh, extra=extra,
+                    tuning=tuning, obs_weights=weights, dtype=dtype,
+                    offset=design.offset, **dict(engine_opts or {}),
+                )
         else:
             from .freerun import FreeRunCGGibbs
 
