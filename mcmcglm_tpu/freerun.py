@@ -737,17 +737,23 @@ class FreeRunCGGibbs:
     # -- thinned collection with streaming moments (pod-scale mode) --------
 
     def _run_thinned_impl(self, state: FreeRunState, moments, n_outer: int,
-                          thin: int, shrink_only: bool):
+                          thin: int, shrink_only: bool, ess=None):
         """lax.scan over n_outer blocks of `thin` free-running sweeps each;
         every block's draws are merged into per-chain Welford moments on
         device (chunk-merge form: within-block centering keeps the update
         float32-safe) and only the block's LAST draw is retained — memory is
         O(C*(n_outer + thin)*d) instead of O(C*n_outer*thin*d).  The merge
         runs once per `thin` sweeps, ~3*d passes of (C, n) traffic each, so
-        its (C, d)-sized streams are free by comparison."""
+        its (C, d)-sized streams are free by comparison.
+
+        ``ess`` optionally carries a :class:`~mcmcglm_tpu.parallel.pooled.
+        ESSState`: each kept draw also feeds the on-device streaming
+        autocovariance accumulator (SURVEY §8.3 — min-ESS without ever
+        gathering the (C, K, d) draw tensor to host)."""
+        from .parallel.pooled import update_ess
 
         def outer(carry, _):
-            st, (cnt, mean, m2) = carry
+            st, (cnt, mean, m2), es = carry
             st, draws, _ = self._run(st, thin, adapt=False,
                                      shrink_only=shrink_only)
             mu_c = jnp.mean(draws, axis=1)  # (C, d)
@@ -757,16 +763,18 @@ class FreeRunCGGibbs:
             ratio = (float(thin) / cnt2)[:, None]
             mean2 = mean + delta * ratio
             m22 = m2 + m2_c + delta * delta * (cnt * float(thin) / cnt2)[:, None]
-            return (st, (cnt2, mean2, m22)), draws[:, -1]
+            if es is not None:
+                es = update_ess(es, draws[:, -1])
+            return (st, (cnt2, mean2, m22), es), draws[:, -1]
 
-        (state, mom), kept = lax.scan(
-            outer, (state, moments), None, length=n_outer
+        (state, mom, ess), kept = lax.scan(
+            outer, (state, moments, ess), None, length=n_outer
         )
         kept = jnp.swapaxes(kept, 0, 1)  # (n_outer, C, d) -> (C, n_outer, d)
-        return state, mom, kept
+        return state, mom, kept, ess
 
     def run_thinned(self, state: FreeRunState, n_outer: int, thin: int,
-                    moments=None):
+                    moments=None, ess: bool = False, ess_max_lag: int = 64):
         """Advance chains by ``n_outer * thin`` sweeps, keeping every
         ``thin``-th draw and streaming per-chain Welford moments on device —
         the pod-scale collection mode (mirrors CGGibbs.run_thinned; feeds
@@ -774,8 +782,14 @@ class FreeRunCGGibbs:
 
         Returns (state, moments, draws (C, n_outer, d), n_evals (C,)) —
         ``moments`` is a ChainMoments with per-chain count (C,), and
-        ``n_evals`` is the cumulative per-chain evaluation counter."""
-        from .parallel.pooled import ChainMoments
+        ``n_evals`` is the cumulative per-chain evaluation counter.
+
+        ``ess=True`` additionally streams the split-chain autocovariance
+        accumulator on device (parallel.pooled.ESSState; window
+        ``ess_max_lag``) and returns it as a FIFTH element — feed it to
+        ``pooled.ess_from_state`` for min-ESS with only (d,)-sized host
+        transfers (SURVEY §8.3)."""
+        from .parallel.pooled import ChainMoments, init_ess
 
         C = int(state.beta.shape[0])
         if moments is None:
@@ -784,19 +798,27 @@ class FreeRunCGGibbs:
                 mean=jnp.zeros((C, self.d), self.dtype),
                 m2=jnp.zeros((C, self.d), self.dtype),
             )
-        key_ = ("thinned", n_outer, thin, self.shrink_only, C)
+        ess_state = (
+            init_ess(C, self.d, planned=n_outer, max_lag=ess_max_lag,
+                     dtype=self.dtype)
+            if ess else None
+        )
+        key_ = ("thinned", n_outer, thin, self.shrink_only, C, bool(ess),
+                ess_max_lag if ess else None)
         fn = self._run_cache.get(key_)
         if fn is None:
-            def impl(st, mom):
-                st, (cnt, mean, m2), draws = self._run_thinned_impl(
+            def impl(st, mom, es):
+                st, (cnt, mean, m2), draws, es = self._run_thinned_impl(
                     st, (mom.count, mom.mean, mom.m2), n_outer, thin,
-                    self.shrink_only,
+                    self.shrink_only, ess=es,
                 )
-                return st, ChainMoments(cnt, mean, m2), draws
+                return st, ChainMoments(cnt, mean, m2), draws, es
 
             fn = jax.jit(impl)
             self._run_cache[key_] = fn
-        state, moments, draws = fn(state, moments)
+        state, moments, draws, ess_state = fn(state, moments, ess_state)
+        if ess:
+            return state, moments, draws, state.nev, ess_state
         return state, moments, draws, state.nev
 
     def warmup(self, state: FreeRunState, n_sweeps: int,

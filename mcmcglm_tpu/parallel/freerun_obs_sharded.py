@@ -396,11 +396,16 @@ class ObsShardedFreeRunCGGibbs:
         return fn(state, sweep_count, draws, nevbuf, *args)
 
     def run_thinned(self, state: FreeRunState, n_outer: int, thin: int,
-                    moments=None):
+                    moments=None, ess: bool = False, ess_max_lag: int = 64):
         """Thinned collection + streaming per-chain Welford moments (see
         FreeRunCGGibbs.run_thinned).  Moments are chain-sharded
-        (obs-replicated), so pooled_summary reductions lower to psums."""
-        from .pooled import ChainMoments
+        (obs-replicated), so pooled_summary reductions lower to psums.
+        ``ess=True`` additionally streams the on-device autocovariance
+        accumulator and returns it FIFTH (see
+        ShardedFreeRunCGGibbs.run_thinned)."""
+        from functools import partial
+
+        from .pooled import ChainMoments, init_ess
 
         specs = self._specs()
         args, dspecs = self._data_args()
@@ -409,9 +414,9 @@ class ObsShardedFreeRunCGGibbs:
             m2=P(CHAIN_AXIS, None),
         )
         C = int(state.beta.shape[0])
+        d = self.inner.d
+        dt = self.inner.dtype
         if moments is None:
-            d = self.inner.d
-            dt = self.inner.dtype
             zeros = jax.jit(
                 lambda: ChainMoments(
                     count=jnp.zeros((C,), dt),
@@ -423,32 +428,57 @@ class ObsShardedFreeRunCGGibbs:
                 ),
             )
             moments = zeros()
-        key_ = ("thinned", n_outer, thin, C)
+        ess_state = None
+        ess_specs = None
+        if ess:
+            from .pooled import ESSState
+
+            ess_specs = ESSState(
+                s=P(CHAIN_AXIS, None, None, None),
+                ring=P(CHAIN_AXIS, None, None, None),
+                first=P(CHAIN_AXIS, None, None, None),
+                total=P(CHAIN_AXIS, None, None),
+                count=P(), planned=P(),
+            )
+            mk = jax.jit(
+                partial(init_ess, C, d, planned=n_outer,
+                        max_lag=ess_max_lag, dtype=dt),
+                out_shardings=jax.tree.map(
+                    lambda s: NamedSharding(self.mesh, s), ess_specs
+                ),
+            )
+            ess_state = mk()
+        key_ = ("thinned", n_outer, thin, C, bool(ess),
+                ess_max_lag if ess else None)
         fn = self._fn_cache.get(key_)
         if fn is None:
 
-            def run_shard(st, mom, *data):
+            def run_shard(st, mom, es, *data):
                 eng = self._local(*data)
-                st2, (cnt, mean, m2), draws = eng._run_thinned_impl(
+                st2, (cnt, mean, m2), draws, es = eng._run_thinned_impl(
                     st._replace(key=st.key[0]),
                     (mom.count, mom.mean, mom.m2),
-                    n_outer, thin, self.inner.shrink_only,
+                    n_outer, thin, self.inner.shrink_only, ess=es,
                 )
                 return (
                     st2._replace(key=st2.key[None]),
                     ChainMoments(cnt, mean, m2),
                     draws,
+                    es,
                 )
 
             fn = jax.jit(
                 shard_map(
                     run_shard, mesh=self.mesh,
-                    in_specs=(specs, mom_specs, *dspecs),
-                    out_specs=(specs, mom_specs, P(CHAIN_AXIS, None, None)),
+                    in_specs=(specs, mom_specs, ess_specs, *dspecs),
+                    out_specs=(specs, mom_specs, P(CHAIN_AXIS, None, None),
+                               ess_specs),
                 )
             )
             self._fn_cache[key_] = fn
-        state, moments, draws = fn(state, moments, *args)
+        state, moments, draws, ess_state = fn(state, moments, ess_state, *args)
+        if ess:
+            return state, moments, draws, state.nev, ess_state
         return state, moments, draws, state.nev
 
     def sample(self, key, n_samples: int, n_chains: int, chunk_size: int = 0,

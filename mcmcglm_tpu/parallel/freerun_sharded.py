@@ -299,14 +299,20 @@ class ShardedFreeRunCGGibbs:
         return fn
 
     def run_thinned(self, state: FreeRunState, n_outer: int, thin: int,
-                    moments=None):
+                    moments=None, ess: bool = False, ess_max_lag: int = 64):
         """Thinned collection + streaming per-chain Welford moments, per
         shard (FreeRunCGGibbs.run_thinned over the chain mesh axis — the
         BASELINE pod configuration's collection mode).  Returns
         (state, moments, draws (C, n_outer, d), n_evals (C,)); moments
         arrays are chain-sharded, so ``pooled_summary`` reductions over
-        them lower to psums under jit."""
-        from .pooled import ChainMoments
+        them lower to psums under jit.
+
+        ``ess=True`` additionally streams the on-device split-chain
+        autocovariance accumulator per shard and returns it FIFTH
+        (chain-sharded; ``pooled.ess_from_state`` under jit then lowers
+        its chain reductions to psums — min-ESS with only (d,)-sized
+        host transfers, SURVEY §8.3)."""
+        from .pooled import ChainMoments, init_ess
 
         specs = self._specs()
         mom_specs = ChainMoments(
@@ -314,9 +320,9 @@ class ShardedFreeRunCGGibbs:
             m2=P(CHAIN_AXIS, None),
         )
         C = int(state.beta.shape[0])
+        d = self.inner.d
+        dt = self.inner.dtype
         if moments is None:
-            d = self.inner.d
-            dt = self.inner.dtype
             zeros = jax.jit(
                 lambda: ChainMoments(
                     count=jnp.zeros((C,), dt),
@@ -328,30 +334,58 @@ class ShardedFreeRunCGGibbs:
                 ),
             )
             moments = zeros()
-        key_ = ("thinned", n_outer, thin, C)
+        ess_state = None
+        ess_specs = None
+        if ess:
+            from .pooled import ESSState
+
+            ess_specs = ESSState(
+                s=P(CHAIN_AXIS, None, None, None),
+                ring=P(CHAIN_AXIS, None, None, None),
+                first=P(CHAIN_AXIS, None, None, None),
+                total=P(CHAIN_AXIS, None, None),
+                count=P(), planned=P(),
+            )
+            mk = jax.jit(
+                partial(init_ess, C, d, planned=n_outer,
+                        max_lag=ess_max_lag, dtype=dt),
+                out_shardings=jax.tree.map(
+                    lambda s: NamedSharding(self.mesh, s), ess_specs
+                ),
+            )
+            ess_state = mk()
+        key_ = ("thinned", n_outer, thin, C, bool(ess),
+                ess_max_lag if ess else None)
         fn = self._fn_cache.get(key_)
         if fn is None:
 
-            def run_shard(st, mom):
-                st2, (cnt, mean, m2), draws = self.inner._run_thinned_impl(
-                    st._replace(key=st.key[0]),
-                    (mom.count, mom.mean, mom.m2),
-                    n_outer, thin, self.inner.shrink_only,
+            def run_shard(st, mom, es):
+                st2, (cnt, mean, m2), draws, es = (
+                    self.inner._run_thinned_impl(
+                        st._replace(key=st.key[0]),
+                        (mom.count, mom.mean, mom.m2),
+                        n_outer, thin, self.inner.shrink_only, ess=es,
+                    )
                 )
                 return (
                     st2._replace(key=st2.key[None]),
                     ChainMoments(cnt, mean, m2),
                     draws,
+                    es,
                 )
 
             fn = jax.jit(
                 shard_map(
-                    run_shard, mesh=self.mesh, in_specs=(specs, mom_specs),
-                    out_specs=(specs, mom_specs, P(CHAIN_AXIS, None, None)),
+                    run_shard, mesh=self.mesh,
+                    in_specs=(specs, mom_specs, ess_specs),
+                    out_specs=(specs, mom_specs, P(CHAIN_AXIS, None, None),
+                               ess_specs),
                 )
             )
             self._fn_cache[key_] = fn
-        state, moments, draws = fn(state, moments)
+        state, moments, draws, ess_state = fn(state, moments, ess_state)
+        if ess:
+            return state, moments, draws, state.nev, ess_state
         return state, moments, draws, state.nev
 
     def sample(self, key, n_samples: int, n_chains: int, chunk_size: int = 0,

@@ -330,7 +330,9 @@ class TestZeroCollectives:
         texts = {}
         for key, fn in eng._fn_cache.items():
             if key[0] == "thinned":
-                texts[key] = fn.lower(st, mom).compile().as_text().lower()
+                texts[key] = (
+                    fn.lower(st, mom, None).compile().as_text().lower()
+                )
             elif key[0] == "passes":
                 continue
             else:
