@@ -170,8 +170,11 @@ def mcmcglm(
             and -(-design.X.shape[0] // 128) * 128 <= MAX_FUSED_N
             and n_chains % 8 == 0
         )
+        # latent runs at full freerun speed too: it is pure shrinkage
+        # with a carried bracket width, so the automaton reuses the
+        # whole battery/commit machinery (freerun._begin_coord_latent)
         freerun_eligible = (
-            kernel.name == "stepping_out"
+            kernel.name in ("stepping_out", "latent")
             and linear_predictor_calc == "update"
         )
         if engine == "fused":
@@ -185,7 +188,7 @@ def mcmcglm(
         elif engine == "freerun":
             if not freerun_eligible:
                 raise ValueError(
-                    "engine='freerun' requires stepping_out + "
+                    "engine='freerun' requires stepping_out or latent + "
                     "linear_predictor_calc='update'"
                 )
             use_freerun = True
@@ -219,6 +222,8 @@ def mcmcglm(
         )
     elif use_freerun:
         engine_opts = dict(engine_opts or {})
+        if kernel is not None and kernel.name == "latent":
+            engine_opts.setdefault("slice_kernel", "latent")
         if sample_method == "normal-normal":
             engine_opts["coord_sampler"] = "conjugate"
         elif "spec_k" not in engine_opts and jax.default_backend() != "cpu":

@@ -132,7 +132,36 @@ class FreeRunCGGibbs:
         battery_impl: str = "auto",
         x_storage: str = "f32",
         coord_sampler: str = "slice",
+        slice_kernel: str = "stepping_out",
     ):
+        # slice_kernel="latent": the Li & Walker (2020) latent slice
+        # sampler at freerun pass rates.  Latent is pure shrinkage with a
+        # per-(chain, coordinate) carried bracket width s (refreshed at
+        # every coordinate begin as s' = 2|l - b0| + Exp(rate)), so the
+        # entire pass machinery — fused evaluation batteries (incl.
+        # pallas2/pallas3), eval caches, commits, sharding — is reused
+        # unchanged; only the coordinate-begin register construction
+        # differs (_begin_coord_latent) and the logw buffer carries log s
+        # instead of adapted stepping-out widths.  This closes the
+        # reference's "all functions from qslice" claim
+        # (R/mcmcglm.R:35-39) for a second kernel at full engine speed;
+        # doubling/elliptical/quantile remain on the lockstep engine.
+        if slice_kernel not in ("stepping_out", "latent"):
+            raise ValueError(
+                "freerun slice_kernel must be 'stepping_out' or 'latent' "
+                f"(got {slice_kernel!r}); other kernels run on the "
+                "lockstep engine (engine.CGGibbs)"
+            )
+        if slice_kernel == "latent" and coord_sampler == "conjugate":
+            raise ValueError(
+                "coord_sampler='conjugate' draws exact normals — it has "
+                "no slice kernel; drop slice_kernel='latent'"
+            )
+        self.slice_kernel = slice_kernel
+        # uniforms consumed per coordinate begin: stepping_out needs
+        # (level, interval position, stepout split); latent needs
+        # (level, midpoint, width Exp, first proposal)
+        self._n_begin_u = 4 if slice_kernel == "latent" else 3
         # coord_sampler="conjugate": exact normal coordinate conditionals
         # (gaussian family + identity link + diagonal normal prior only;
         # the reference's "normal-normal" validation path, R/sampling.R:
@@ -209,12 +238,19 @@ class FreeRunCGGibbs:
         self.y = jnp.asarray(y, dtype).reshape(-1)
         self.extra = {k: jnp.asarray(v, dtype) for k, v in dict(extra or {}).items()}
         tuning = dict(tuning or {})
-        if "w" not in tuning and coord_sampler == "slice":
+        if (
+            "w" not in tuning
+            and coord_sampler == "slice"
+            and slice_kernel == "stepping_out"
+        ):
             raise ValueError(
                 "A tuning parameter for the slice kernel is missing: ['w'] "
                 "required by 'stepping_out'"
             )
         self.w0 = float(tuning.get("w", 1.0))  # unused by 'conjugate'
+        # latent's only tuning: the Exp rate of the width refresh (the
+        # lockstep slice_latent default, ops/slice_kernels.py)
+        self.rate = float(tuning.get("rate", 0.3))
         user_reduce_fn = reduce_fn is not None
         if obs_weights is not None:
             ow = jnp.asarray(obs_weights, dtype).reshape(-1)
@@ -404,6 +440,8 @@ class FreeRunCGGibbs:
         schedule to the shrink-only kernel once its own warmup sweep count
         crosses the stepout quota (see :meth:`warmup`).  PRNG consumption
         is identical across all three modes."""
+        if self.slice_kernel == "latent":
+            return self._begin_coord_latent(key, beta, logw, j, ubatch)
         dtype = self.dtype
         C = beta.shape[0]
         if ubatch is None:
@@ -444,6 +482,47 @@ class FreeRunCGGibbs:
             xprop=xprop, phase=phase, stepdir=zero, n_shrink=zero,
         )
 
+    def _begin_coord_latent(self, key, beta, logw, j, ubatch=None):
+        """Latent-slice coordinate begin (Li & Walker 2020; lockstep
+        reference ops/slice_kernels.py slice_latent, qslice::slice_latent).
+
+        Reads the carried bracket width s = exp(logw[c, j]) from the LAST
+        visit of this coordinate, draws the latent midpoint
+        l ~ U(b0 - s/2, b0 + s/2), refreshes s' = 2|l - b0| + Exp(rate)
+        and opens the shrink-only bracket (l - s'/2, l + s'/2).  Returns
+        the standard register dict plus ``logw_j`` = log s' for the caller
+        to commit into the logw buffer (the automaton's per-coordinate
+        carried-state slot; stepping_out uses the same buffer for adapted
+        widths).  Four uniforms per begin: level, midpoint, width Exp,
+        first shrink proposal."""
+        dtype = self.dtype
+        C = beta.shape[0]
+        if ubatch is None:
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            u_lvl = jax.random.uniform(k1, (C,), dtype=dtype)
+            u_l = jax.random.uniform(k2, (C,), dtype=dtype)
+            u_s = jax.random.uniform(k3, (C,), dtype=dtype)
+            u_first = jax.random.uniform(k4, (C,), dtype=dtype)
+        else:
+            u_lvl, u_l, u_s, u_first = (
+                ubatch[:, 0], ubatch[:, 1], ubatch[:, 2], ubatch[:, 3]
+            )
+        level = jnp.log1p(-u_lvl)  # -Exp(1), exact for u in [0, 1)
+        s = jnp.exp(jnp.take_along_axis(logw, j[:, None], axis=1)[:, 0])
+        b0 = jnp.take_along_axis(beta, j[:, None], axis=1)[:, 0]
+        latent_l = b0 + s * (u_l - 0.5)
+        s_new = 2.0 * jnp.abs(latent_l - b0) - jnp.log1p(-u_s) / self.rate
+        L = latent_l - 0.5 * s_new
+        R = latent_l + 0.5 * s_new
+        lp0 = jnp.asarray(self._coord_lp(beta, j, b0), dtype)
+        zero = jnp.zeros((C,), jnp.int32)
+        return dict(
+            level=level, L=L, R=R, budL=zero, budR=zero, b0=b0, lp0=lp0,
+            w=s_new, xprop=L + (R - L) * u_first,
+            phase=jnp.ones((C,), jnp.int32), stepdir=zero, n_shrink=zero,
+            logw_j=jnp.log(s_new),
+        )
+
     def init(self, key, n_chains: int, beta0=None) -> FreeRunState:
         """Initial state for ``n_chains`` chains.  ``beta0`` (optional,
         (d,) or (C, d)) overrides the default prior draw — e.g. the prior
@@ -476,13 +555,18 @@ class FreeRunCGGibbs:
             # pallas3 carries eta in the (C, S, 128) kernel layout: one
             # relayout here, none per pass
             eta = eta.reshape(C, *self._eta3)
-        logw = jnp.full((C, self.d), jnp.log(jnp.asarray(self.w0, dtype)))
-        reg = self._begin_coord(
-            k_coord, beta, logw, jnp.zeros((C,), jnp.int32), shrink_only=False
+        w_init = (
+            1.0 / self.rate if self.slice_kernel == "latent" else self.w0
         )
+        logw = jnp.full((C, self.d), jnp.log(jnp.asarray(w_init, dtype)))
+        j0 = jnp.zeros((C,), jnp.int32)
+        reg = self._begin_coord(k_coord, beta, logw, j0, shrink_only=False)
+        logw_j = reg.pop("logw_j", None)
+        if logw_j is not None:  # latent: commit the refreshed width
+            logw = self._commit_row(logw, j0, logw_j)
         return FreeRunState(
             beta=beta, eta=eta, ld0=ld0, key=k_run, logw=logw,
-            j=jnp.zeros((C,), jnp.int32), nev=jnp.zeros((C,), jnp.int32),
+            j=j0, nev=jnp.zeros((C,), jnp.int32),
             **reg,
         )
 

@@ -32,9 +32,13 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     active = sweep_count < n_sweeps
 
     # pass-level randomness: ONE batched uniform block (each separate
-    # (C,)-draw pays a fixed threefry dispatch cost)
+    # (C,)-draw pays a fixed threefry dispatch cost).  Width 1 + nb where
+    # nb = eng._n_begin_u (3 for stepping_out -> (C, 4), bitwise the
+    # historical block; 4 for latent, whose begin also draws the first
+    # shrink proposal).
+    nb = eng._n_begin_u
     key, k_u = jax.random.split(s.key)
-    R4 = jax.random.uniform(k_u, (C, 4), dtype=dtype)
+    R4 = jax.random.uniform(k_u, (C, 1 + nb), dtype=dtype)
     u_shrink = R4[:, 0]
 
     # 1-2. the single fused evaluation
@@ -94,12 +98,14 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     beta = eng._commit_row(s.beta, s.j, b_star)
 
     logw = s.logw
-    if adapt:
+    if adapt and eng.slice_kernel != "latent":
         # Robbins-Monro pull of log w_j toward ~3x the accepted move;
         # gated one-hot select touches only committing lanes' (c, j)
         # adapt only on accept-with-move commits: a shrink-exhausted
         # commit has move = 0 and would pull log w toward log(1e-6) —
-        # a width death-spiral for sticky coordinates
+        # a width death-spiral for sticky coordinates.  (latent: logw
+        # carries the kernel's own refreshed bracket width instead —
+        # no Robbins-Monro, see _begin_coord_latent.)
         move = jnp.abs(b_star - s.b0)
         target = jnp.log(eng.adapt_c * move + 1e-6)
         lw_j = jnp.take_along_axis(s.logw, s.j[:, None], axis=1)[:, 0]
@@ -124,7 +130,10 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     if stepout_sweeps is not None and not shrink_only:
         so_eff = sweep_count >= stepout_sweeps
     reg = eng._begin_coord(key, beta, logw, j_next, so_eff,
-                            ubatch=R4[:, 1:4])
+                            ubatch=R4[:, 1:1 + nb])
+    logw_j = reg.pop("logw_j", None)
+    if logw_j is not None:  # latent: commit the refreshed bracket width
+        logw = eng._commit_row(logw, j_next, logw_j, gate=commit)
 
     def pick(name, old):
         return jnp.where(commit, reg[name], old)
@@ -195,10 +204,12 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     rows = jnp.arange(C)
     active = sweep_count < n_sweeps
 
+    nb = eng._n_begin_u
     key, k_u = jax.random.split(s.key)
-    # ONE batched uniform block: K shrink proposals + the 3 uniforms
-    # _begin_coord needs (level, position, stepout split)
-    RU = jax.random.uniform(k_u, (C, K + 3), dtype=dtype)
+    # ONE batched uniform block: K shrink proposals + the nb uniforms
+    # _begin_coord needs (3 for stepping_out — level, position, stepout
+    # split — bitwise the historical block; 4 for latent)
+    RU = jax.random.uniform(k_u, (C, K + nb), dtype=dtype)
     U = RU[:, :K]
 
     stepping = s.phase == 0
@@ -365,7 +376,7 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     beta = eng._commit_row(s.beta, s.j, b_star)
 
     logw = s.logw
-    if adapt:
+    if adapt and eng.slice_kernel != "latent":
         move = jnp.abs(b_star - s.b0)
         target = jnp.log(eng.adapt_c * move + 1e-6)
         lw_j = jnp.take_along_axis(s.logw, s.j[:, None], axis=1)[:, 0]
@@ -387,7 +398,10 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     if stepout_sweeps is not None and not shrink_only:
         so_eff = sweep_count >= stepout_sweeps
     reg = eng._begin_coord(key, beta, logw, j_next, so_eff,
-                            ubatch=RU[:, K:K + 3])
+                            ubatch=RU[:, K:K + nb])
+    logw_j = reg.pop("logw_j", None)
+    if logw_j is not None:  # latent: commit the refreshed bracket width
+        logw = eng._commit_row(logw, j_next, logw_j, gate=commit)
 
     def pick(name, old):
         return jnp.where(commit, reg[name], old)
