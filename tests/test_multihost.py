@@ -32,3 +32,24 @@ def test_two_process_dryrun():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "MULTIHOST_DRYRUN_OK" in out.stdout
+
+
+@pytest.mark.slow
+def test_fault_injection_restart():
+    """SURVEY §5 failure detection / elastic recovery: SIGKILL one worker
+    mid-collection, the survivor detects the dead peer at the barrier,
+    and a restarted pair restores the checkpoint and reproduces the
+    crashed run's draws BITWISE (scripts/fault_injection_dryrun.py)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["FAULT_DRYRUN_PORT"] = "52611"  # avoid collisions with manual runs
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(_REPO, "scripts", "fault_injection_dryrun.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "FAULT_DRYRUN_OK" in out.stdout
