@@ -266,6 +266,44 @@ def main():
     jax.block_until_ready(parts_dev)
     timed_s = time.perf_counter() - t0
 
+    # -- roofline probe (VERDICT r4 #3): time EXACT device passes --------
+    # run_passes with an unreachable sweep quota executes exactly
+    # n_passes automaton passes (all lanes active, 1-slot dummy buffers),
+    # so seconds/pass is measured directly instead of inferred from
+    # sweeps.  bytes_per_pass uses the selected battery's established
+    # stream count x the padded (C, n) operand (module docstrings in
+    # ops/freerun_batteries.py; pass-budget logs in results/README.md):
+    # pallas3 = 3 streams (read eta, read X rows, write eta),
+    # pallas2 = 5 (the XLA row gather's read+write + kernel read eta/xg
+    # + write eta), pallas = 6, xla battery/classic ~ 3 + 2K.  With these
+    # fields a tunnel-degraded bench window is self-evident: pct_hbm_peak
+    # collapses with the window while the model stays fixed.
+    from functools import partial as _partial
+
+    import jax.numpy as jnp
+
+    probe_passes = 1500 if on_accel else 20
+    pass_probe = jax.jit(_partial(
+        eng._run_pass_block, n_sweeps=1 << 30, n_passes=probe_passes,
+        adapt=False, shrink_only=True,
+    ))
+    sc0 = jnp.zeros((n_chains,), jnp.int32)
+    st_p, _ = pass_probe(state, sc0)  # compile
+    jax.block_until_ready(st_p.beta)
+    tp = time.perf_counter()
+    st_p, _ = pass_probe(st_p, sc0)
+    jax.block_until_ready(st_p.beta)
+    pass_s = (time.perf_counter() - tp) / probe_passes
+    n_pad = int(np.prod(eng.Xt.shape[1:]))
+    streams = {"pallas3": 3, "pallas2": 5, "pallas": 6}.get(
+        eng.battery_impl, 3 + 2 * eng.spec_k
+    )
+    bytes_per_pass = streams * n_chains * n_pad * 4
+    hbm_gbps = bytes_per_pass / pass_s / 1e9
+    # v5e HBM peak 819 GB/s; other chips: field is labeled, not silent
+    hbm_peak = 819.0
+    pct_hbm_peak = 100.0 * hbm_gbps / hbm_peak
+
     draws = np.concatenate([np.asarray(p) for p in parts_dev], axis=1)  # (C, K, d)
     n_evals = (np.asarray(state.nev) - nev0) / timed_sweeps
     ess_all = ess(draws)
@@ -303,6 +341,12 @@ def main():
                 "baseline_proxy_ess_per_sec": round(baseline_ess_per_sec, 4),
                 "battery": getattr(eng, "battery_impl", None),
                 "selection_cache_hit": cache_hit,
+                "pass_microseconds": round(pass_s * 1e6, 2),
+                "bytes_per_pass": bytes_per_pass,
+                "modeled_streams_per_pass": streams,
+                "hbm_gbps": round(hbm_gbps, 1),
+                "pct_hbm_peak": round(pct_hbm_peak, 1),
+                "hbm_peak_gbps_assumed": hbm_peak,
                 "note": (
                     "remote-tunnel throughput drifts up to ~2x between "
                     "sessions; same-process A/B ladders in "

@@ -64,11 +64,26 @@ EXAMPLES = [
         "Rendered on CPU (interpret mode); the measured TPU ladder lives "
         "in `results/README.md`.",
     ),
+    (
+        "06_tall_data_and_recovery.py",
+        "Tall data, on-device diagnostics, latent kernel",
+        "The obs-sharded freerun engine (fast automaton over a "
+        "(chain x obs) mesh, one psum of partial log-lik sums per pass) "
+        "for datasets exceeding one chip's HBM; streaming min-ESS on "
+        "device (split-chain autocovariance accumulator — only a (d,) "
+        "vector reaches the host); and the latent slice kernel "
+        "(Li & Walker 2020) at full freerun speed.  Fault-injected "
+        "restart recovery is exercised separately by "
+        "`scripts/fault_injection_dryrun.py`.",
+    ),
 ]
 
 # per-example env additions (the renderer itself pins JAX_PLATFORMS=cpu)
 EXTRA_ENV = {
     "04_multichip.py": {
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+    },
+    "06_tall_data_and_recovery.py": {
         "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
     },
 }
