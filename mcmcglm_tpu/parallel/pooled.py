@@ -31,6 +31,7 @@ __all__ = [
     "init_ess",
     "update_ess",
     "ess_from_state",
+    "ess_device",
 ]
 
 
@@ -239,11 +240,24 @@ def ess_from_state(st: ESSState, cap: bool = True):
     acov = acov.reshape(C * 2, L, d)
     mean2 = mean.reshape(C * 2, d)
     chain_var = acov[:, 0, :] * Kf / jnp.maximum(Kf - 1.0, 1.0)  # (2C, d)
+    return _ess_combine(
+        jnp.mean(acov, axis=0), chain_var, mean2, Kf, cap
+    )
+
+
+def _ess_combine(mean_acov, chain_var, chain_means, Kf, cap=True):
+    """Stan's cross-chain combination + Geyer truncation, shared by the
+    streaming accumulator and the on-device buffer estimator.
+
+    mean_acov (L, d): autocovariance averaged over the 2C half-chains;
+    chain_var (2C, d): per-half lag-0 variance (unbiased); chain_means
+    (2C, d); Kf: draws per half."""
+    L = mean_acov.shape[0]
+    C2 = chain_var.shape[0]
     mean_var = jnp.mean(chain_var, axis=0)  # (d,)
     var_plus = mean_var * jnp.maximum(Kf - 1.0, 1.0) / jnp.maximum(Kf, 1.0)
-    bvar = jnp.var(mean2, axis=0, ddof=1)  # (d,) cross-chain mean var
+    bvar = jnp.var(chain_means, axis=0, ddof=1)  # cross-chain mean var
     var_plus = var_plus + bvar
-    mean_acov = jnp.mean(acov, axis=0)  # (L, d)
     rho = 1.0 - (mean_var[None, :] - mean_acov) / jnp.maximum(
         var_plus[None, :], 1e-30
     )
@@ -255,10 +269,45 @@ def ess_from_state(st: ESSState, cap: bool = True):
     mono = lax.associative_scan(jnp.minimum, pairs, axis=0)
     tau = -1.0 + 2.0 * jnp.sum(pos * mono, axis=0)
     tau = jnp.where(pos[0] > 0, tau, 1.0)
-    CK = (2.0 * C) * Kf
+    CK = C2 * Kf
     tau = jnp.maximum(tau, 1.0 / jnp.log10(CK + 10.0))
     out = CK / tau
     if cap:
         out = jnp.minimum(out, CK * jnp.log10(CK + 10.0))
     # degenerate guard (var_plus <= 0): everything effective
     return jnp.where(var_plus > 0, out, CK)
+
+
+def ess_device(draws, max_lag: int = 64, cap: bool = True):
+    """Combined bulk ESS per parameter, computed ON DEVICE from a resident
+    (C, K, d) draws buffer — the pod run_passes path, where the buffer
+    already lives chain-sharded in HBM and the FFT estimator would first
+    gather ~GBs to the host over a slow link (SURVEY §8.3).  Jit it over
+    the mesh: the chain reductions lower to psums and only the (d,) ESS
+    vector is transferred.
+
+    Same estimator as diagnostics.ess up to the ``max_lag`` window
+    (split-chain halves, Stan combination, Geyer truncation); the lag
+    sums stream the centered buffer once per lag (O(L * C * K * d)
+    sequential element traffic — a fraction of a second at pod scale)."""
+    C, K, d = draws.shape
+    half = K // 2
+    L = max(2, min(int(max_lag), half))
+    x = jnp.stack([draws[:, :half], draws[:, K - half:]], 1)  # (C,2,h,d)
+    m = jnp.mean(x, axis=2, keepdims=True)
+    xc = x - m
+    Kf = jnp.asarray(half, draws.dtype)
+    tidx = jnp.arange(half)[None, None, :, None]
+
+    def lag_acov(_, l):
+        rolled = jnp.roll(xc, -l, axis=2)
+        valid = (tidx < half - l).astype(draws.dtype)
+        s = jnp.sum(xc * rolled * valid, axis=2) / Kf  # (C, 2, d)
+        return None, jnp.mean(s.reshape(C * 2, d), axis=0)
+
+    _, mean_acov = lax.scan(lag_acov, None, jnp.arange(L))  # (L, d)
+    chain_var = jnp.var(
+        xc.reshape(C * 2, half, d), axis=1, ddof=1
+    ) * 1.0  # unbiased per half-chain
+    chain_means = m.reshape(C * 2, d)
+    return _ess_combine(mean_acov, chain_var, chain_means, Kf, cap)

@@ -303,7 +303,18 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
             return ChainMoments(cnt, mean, m2)
 
         mom = jax.jit(mom_from_draws)(drbuf)
+        # on-device min-ESS straight from the chain-sharded buffer
+        # (SURVEY §8.3): only the (d,) vector crosses to the host, vs the
+        # full (C, n_outer, d) gather below (kept as the cross-check and
+        # for err_sd); both timings recorded so the saving is explicit
+        from mcmcglm_tpu.parallel.pooled import ess_device
+
+        t_e = time.perf_counter()
+        ess_dev = np.asarray(jax.jit(ess_device)(drbuf))
+        dev_ess_s = time.perf_counter() - t_e
+        t_g = time.perf_counter()
         draws = np.asarray(drbuf)
+        gather_s = time.perf_counter() - t_g
     else:
         # compile the thinned sampling executable (one outer block)
         state, mom, dr, _ = eng.run_thinned(state, n_outer=1, thin=thin)
@@ -358,6 +369,13 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
         "median_ess_per_s_thinned": round(float(np.median(ess)) / dt, 2),
         "max_err_sd": round(float(err_sd.max()), 3),
     }
+    if thin == 1:
+        out["min_ess_per_s_device"] = round(float(ess_dev.min()) / dt, 2)
+        out["device_ess_seconds"] = round(dev_ess_s, 2)
+        out["host_gather_seconds"] = round(gather_s, 2)
+        out["device_vs_host_min_ess_ratio"] = round(
+            float(ess_dev.min()) / float(np.min(ess)), 4
+        )
     print(json.dumps(out), flush=True)
     return out
 

@@ -170,3 +170,48 @@ class TestRunThinnedIntegration:
         state = eng.init(jax.random.key(3), 4)
         out = eng.run_thinned(state, 10, 2)
         assert len(out) == 4
+
+
+class TestEssDevice:
+    """ess_device: the same estimator computed on device from a resident
+    (C, K, d) buffer (the pod run_passes path — no host gather)."""
+
+    def test_matches_fft_reference(self):
+        from mcmcglm_tpu.parallel.pooled import ess_device
+
+        draws = _ar1_draws(C=6, K=240, d=3, rho=0.55, seed=7)
+        dev = np.asarray(
+            jax.jit(ess_device)(jnp.asarray(draws, jnp.float64))
+        )
+        ref = ess_host(draws, use_native=False)
+        np.testing.assert_allclose(dev, ref, rtol=0.02)
+
+    def test_matches_streaming_accumulator(self):
+        from mcmcglm_tpu.parallel.pooled import ess_device
+
+        draws = _ar1_draws(C=4, K=201, d=2, rho=0.4, seed=8)  # odd K
+        dev = np.asarray(
+            jax.jit(ess_device)(jnp.asarray(draws, jnp.float64))
+        )
+        st = _stream(draws)
+        acc = np.asarray(ess_from_state(st))
+        np.testing.assert_allclose(dev, acc, rtol=1e-6)
+
+    def test_sharded_buffer_only_d_to_host(self):
+        """Chain-sharded buffer in, (d,) out — reductions lower to psums
+        under jit over the mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mcmcglm_tpu.parallel import make_mesh
+        from mcmcglm_tpu.parallel.pooled import ess_device
+
+        mesh = make_mesh(8, 1)
+        draws = _ar1_draws(C=8, K=160, d=3, rho=0.5, seed=9)
+        buf = jax.device_put(
+            jnp.asarray(draws, jnp.float64),
+            NamedSharding(mesh, P("chain", None, None)),
+        )
+        dev = np.asarray(jax.jit(ess_device)(buf))
+        ref = ess_host(draws, use_native=False)
+        assert dev.shape == (3,)
+        np.testing.assert_allclose(dev, ref, rtol=0.02)
