@@ -32,18 +32,18 @@ sys.path.insert(0, _REPO)
 import numpy as np  # noqa: E402
 
 
-def _time(fn, *args, reps=3, block=None):
+def _time(fn, *args, reps=4, block=None):
     import jax
 
     out = fn(*args)
     jax.block_until_ready(out if block is None else block(out))
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out if block is None else block(out))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    return min(times), times
 
 
 def main():
@@ -81,22 +81,32 @@ def main():
     # -- 1. bare 3-stream floor at the pass's shapes ----------------------
     # REPS back-to-back triads per dispatch so per-dispatch latency
     # (tunnel RPC ~ms here) cannot masquerade as kernel time
-    TR = 200
-    a = jnp.ones((C, n_pad), jnp.float32)
-    b = jnp.full((C, n_pad), 2.0, jnp.float32)
+    # operands sized PAST VMEM (3 x 168 MB at the TPU shapes): a small
+    # (C, n_pad) triad goes VMEM-resident across the scan (measured 1447
+    # "GB/s" — above the HBM peak) and stops being an HBM floor
+    TR = 300
+    CB = 4096 if on_accel else C
+    a = jnp.ones((CB, n_pad), jnp.float32)
+    b = jnp.full((CB, n_pad), 2.0, jnp.float32)
 
     @jax.jit
     def triads(a, b):
         def step(c, _):
-            return a + (b + c[0, 0]), None
+            # single fused elementwise kernel: read a, read b, write c
+            # (the c[0,0]*1e-20 term keeps the loop-carried dependence
+            # without growing the values, so XLA cannot hoist the body)
+            return a + b * (c[0, 0] * 1e-20 + 1.0), None
         c, _ = jax.lax.scan(step, b, None, length=TR)
         return c
 
-    t_triad = _time(triads, a, b) / TR
-    gbps_triad = 3 * C * n_pad * 4 / t_triad / 1e9
+    t_triad, triad_reps = _time(triads, a, b)
+    t_triad /= TR
+    gbps_triad = 3 * CB * n_pad * 4 / t_triad / 1e9
+    # the pass-shaped equivalent floor time at that bandwidth
+    t_floor = 3 * C * n_pad * 4 / (gbps_triad * 1e9)
 
     # -- 2. the battery kernel alone --------------------------------------
-    P = 300
+    P = 1500
     if eng.battery_impl == "pallas3":
         fn3 = eng._battery3_fn(C)
         S, L = eng._eta3
@@ -119,8 +129,9 @@ def main():
             e, ls = jax.lax.scan(step, eta3, None, length=P)
             return e, ls
 
-        t_bat = _time(bat, eta3, jidx, deltas, fprior, scal,
-                      block=lambda o: o[0]) / P
+        t_bat, bat_reps = _time(bat, eta3, jidx, deltas, fprior, scal,
+                                block=lambda o: o[0])
+        t_bat /= P
         streams = 3
     else:
         fn2 = eng._battery2_fn(C) if eng.battery_impl == "pallas2" else None
@@ -141,8 +152,9 @@ def main():
             e, ls = jax.lax.scan(step, eta, None, length=P)
             return e, ls
 
-        t_bat = _time(bat, eta, xg, deltas, fprior, scal,
-                      block=lambda o: o[0]) / P
+        t_bat, bat_reps = _time(bat, eta, xg, deltas, fprior, scal,
+                                block=lambda o: o[0])
+        t_bat /= P
         streams = 4  # + the XLA gather outside the kernel
     gbps_bat = streams * C * n_pad * 4 / t_bat / 1e9
 
@@ -153,8 +165,9 @@ def main():
         adapt=False, shrink_only=True,
     ))
     sc0 = jnp.zeros((C,), jnp.int32)
-    t_pass = _time(pass_fn, state, sc0, reps=2,
-                   block=lambda o: o[0].beta) / PP
+    t_pass, pass_reps = _time(pass_fn, state, sc0, reps=3,
+                              block=lambda o: o[0].beta)
+    t_pass /= PP
     gbps_pass = streams * C * n_pad * 4 / t_pass / 1e9
 
     rec = {
@@ -162,14 +175,20 @@ def main():
         "K": eng.spec_k,
         "t_triad_us": round(t_triad * 1e6, 2),
         "triad_gbps": round(gbps_triad, 1),
+        "t_floor_us_at_pass_shapes": round(t_floor * 1e6, 2),
         "t_battery_us": round(t_bat * 1e6, 2),
         "battery_gbps": round(gbps_bat, 1),
         "t_pass_us": round(t_pass * 1e6, 2),
         "pass_gbps": round(gbps_pass, 1),
         "kernel_vs_stream_floor": round(t_bat / t_triad, 3),
         "automaton_overhead_us": round((t_pass - t_bat) * 1e6, 2),
-        "pass_pct_of_stream_floor": round(100 * t_triad / t_pass, 1),
+        "pass_pct_of_stream_floor": round(100 * t_floor / t_pass, 1),
         "pass_pct_of_kernel": round(100 * t_bat / t_pass, 1),
+        "rep_seconds": {
+            "triad": [round(t, 4) for t in triad_reps],
+            "battery": [round(t, 4) for t in bat_reps],
+            "pass": [round(t, 4) for t in pass_reps],
+        },
         "backend": jax.default_backend(),
     }
     print(json.dumps(rec), flush=True)
