@@ -170,11 +170,15 @@ def mcmcglm(
             and -(-design.X.shape[0] // 128) * 128 <= MAX_FUSED_N
             and n_chains % 8 == 0
         )
-        # latent runs at full freerun speed too: it is pure shrinkage
-        # with a carried bracket width, so the automaton reuses the
-        # whole battery/commit machinery (freerun._begin_coord_latent)
+        # latent / elliptical / genelliptical run at full freerun speed
+        # too: all are pure shrinkage (latent on a carried bracket, the
+        # elliptical pair on the angle bracket), so the automaton reuses
+        # the whole battery/commit machinery — see
+        # freerun._begin_coord_latent / _begin_coord_elliptical
         freerun_eligible = (
-            kernel.name in ("stepping_out", "latent")
+            kernel.name in (
+                "stepping_out", "latent", "elliptical", "genelliptical"
+            )
             and linear_predictor_calc == "update"
         )
         if engine == "fused":
@@ -188,7 +192,8 @@ def mcmcglm(
         elif engine == "freerun":
             if not freerun_eligible:
                 raise ValueError(
-                    "engine='freerun' requires stepping_out or latent + "
+                    "engine='freerun' requires stepping_out, latent, "
+                    "elliptical or genelliptical + "
                     "linear_predictor_calc='update'"
                 )
             use_freerun = True
@@ -222,8 +227,10 @@ def mcmcglm(
         )
     elif use_freerun:
         engine_opts = dict(engine_opts or {})
-        if kernel is not None and kernel.name == "latent":
-            engine_opts.setdefault("slice_kernel", "latent")
+        if kernel is not None and kernel.name in (
+            "latent", "elliptical", "genelliptical"
+        ):
+            engine_opts.setdefault("slice_kernel", kernel.name)
         if sample_method == "normal-normal":
             engine_opts["coord_sampler"] = "conjugate"
         elif "spec_k" not in engine_opts and jax.default_backend() != "cpu":

@@ -146,21 +146,34 @@ class FreeRunCGGibbs:
         # reference's "all functions from qslice" claim
         # (R/mcmcglm.R:35-39) for a second kernel at full engine speed;
         # doubling/elliptical/quantile remain on the lockstep engine.
-        if slice_kernel not in ("stepping_out", "latent"):
+        # elliptical / genelliptical additionally run at freerun speed:
+        # both are pure shrinkage on the ANGLE bracket (theta_lo, theta_hi)
+        # (Murray et al. 2010; Nishihara et al. 2014 via the t scale
+        # mixture), so the automaton carries theta in the xprop register,
+        # the auxiliary point nu in the (otherwise unused) w register,
+        # shrinks with a pivot at theta = 0 instead of b0, and maps theta
+        # through the ellipse before the (kernel-agnostic) fused
+        # evaluation — see _begin_coord_elliptical and the is_angular
+        # branches in ops/freerun_passes.py.
+        if slice_kernel not in (
+            "stepping_out", "latent", "elliptical", "genelliptical"
+        ):
             raise ValueError(
-                "freerun slice_kernel must be 'stepping_out' or 'latent' "
-                f"(got {slice_kernel!r}); other kernels run on the "
-                "lockstep engine (engine.CGGibbs)"
+                "freerun slice_kernel must be 'stepping_out', 'latent', "
+                f"'elliptical' or 'genelliptical' (got {slice_kernel!r}); "
+                "other kernels run on the lockstep engine (engine.CGGibbs)"
             )
-        if slice_kernel == "latent" and coord_sampler == "conjugate":
+        if slice_kernel != "stepping_out" and coord_sampler == "conjugate":
             raise ValueError(
                 "coord_sampler='conjugate' draws exact normals — it has "
-                "no slice kernel; drop slice_kernel='latent'"
+                f"no slice kernel; drop slice_kernel={slice_kernel!r}"
             )
         self.slice_kernel = slice_kernel
+        self.is_angular = slice_kernel in ("elliptical", "genelliptical")
         # uniforms consumed per coordinate begin: stepping_out needs
         # (level, interval position, stepout split); latent needs
-        # (level, midpoint, width Exp, first proposal)
+        # (level, midpoint, width Exp, first proposal); elliptical needs
+        # (level, nu normal score, theta0)
         self._n_begin_u = 4 if slice_kernel == "latent" else 3
         # coord_sampler="conjugate": exact normal coordinate conditionals
         # (gaussian family + identity link + diagonal normal prior only;
@@ -251,6 +264,21 @@ class FreeRunCGGibbs:
         # latent's only tuning: the Exp rate of the width refresh (the
         # lockstep slice_latent default, ops/slice_kernels.py)
         self.rate = float(tuning.get("rate", 0.3))
+        # elliptical family tuning (same names as the lockstep registry)
+        if self.is_angular:
+            if "sigma" not in tuning:
+                raise ValueError(
+                    "A tuning parameter for the slice kernel is missing: "
+                    f"['sigma'] required by {slice_kernel!r}"
+                )
+            if slice_kernel == "genelliptical" and "df" not in tuning:
+                raise ValueError(
+                    "A tuning parameter for the slice kernel is missing: "
+                    "['df'] required by 'genelliptical'"
+                )
+        self.ell_mu = float(tuning.get("mu", 0.0))
+        self.ell_sigma = float(tuning.get("sigma", 1.0))
+        self.ell_df = float(tuning.get("df", 1.0))
         user_reduce_fn = reduce_fn is not None
         if obs_weights is not None:
             ow = jnp.asarray(obs_weights, dtype).reshape(-1)
@@ -442,6 +470,8 @@ class FreeRunCGGibbs:
         is identical across all three modes."""
         if self.slice_kernel == "latent":
             return self._begin_coord_latent(key, beta, logw, j, ubatch)
+        if self.is_angular:
+            return self._begin_coord_elliptical(key, beta, logw, j, ubatch)
         dtype = self.dtype
         C = beta.shape[0]
         if ubatch is None:
@@ -521,6 +551,72 @@ class FreeRunCGGibbs:
             w=s_new, xprop=L + (R - L) * u_first,
             phase=jnp.ones((C,), jnp.int32), stepdir=zero, n_shrink=zero,
             logw_j=jnp.log(s_new),
+        )
+
+    def ellipse_point(self, b0, nu, theta):
+        """The elliptical proposal map: x(theta) on the ellipse through
+        the current point b0 and the auxiliary draw nu around mu
+        (Murray et al. 2010; lockstep slice_elliptical's ``point``)."""
+        mu = self.ell_mu
+        return (
+            (b0 - mu) * jnp.cos(theta) + (nu - mu) * jnp.sin(theta) + mu
+        )
+
+    def _begin_coord_elliptical(self, key, beta, logw, j, ubatch=None):
+        """Elliptical-slice coordinate begin (Murray, Adams & MacKay 2010;
+        lockstep reference ops/slice_kernels.py slice_elliptical,
+        qslice::slice_elliptical — reference usage R/mcmcglm.R:142-144).
+
+        Draws the auxiliary nu ~ N(mu, sigma_eff^2) (carried in the ``w``
+        register), the initial angle theta0 ~ U(0, 2pi) with bracket
+        (theta0 - 2pi, theta0), and stores THETA in the xprop register —
+        the pass maps it through :meth:`ellipse_point` before the fused
+        evaluation and shrinks the bracket with a pivot at theta = 0
+        (see the ``is_angular`` branches in ops/freerun_passes.py).
+
+        genelliptical (Nishihara et al. 2014): sigma_eff = sigma /
+        sqrt(lambda) with lambda | b0 ~ Gamma((df+1)/2, rate=(df +
+        ((b0-mu)/sigma)^2)/2) drawn from a folded subkey — the t
+        auxiliary as a per-visit normal scale mixture, exactly the
+        lockstep slice_genelliptical composition."""
+        dtype = self.dtype
+        C = beta.shape[0]
+        if ubatch is None:
+            k1, k2, k3 = jax.random.split(key, 3)
+            u_lvl = jax.random.uniform(k1, (C,), dtype=dtype)
+            u_nu = jax.random.uniform(k2, (C,), dtype=dtype)
+            u_th = jax.random.uniform(k3, (C,), dtype=dtype)
+        else:
+            u_lvl, u_nu, u_th = ubatch[:, 0], ubatch[:, 1], ubatch[:, 2]
+        level = jnp.log1p(-u_lvl)  # -Exp(1)
+        b0 = jnp.take_along_axis(beta, j[:, None], axis=1)[:, 0]
+        sigma_eff = jnp.asarray(self.ell_sigma, dtype)
+        if self.slice_kernel == "genelliptical":
+            z2 = ((b0 - self.ell_mu) / self.ell_sigma) ** 2
+            shape = (self.ell_df + 1.0) / 2.0
+            rate = (self.ell_df + z2) / 2.0
+            lam = (
+                jax.random.gamma(
+                    jax.random.fold_in(key, 0x9E11), shape, (C,),
+                    dtype=dtype
+                )
+                / rate
+            )
+            sigma_eff = sigma_eff * lax.rsqrt(lam)
+        # nu from a uniform via the normal quantile: one ubatch slot,
+        # same batched-RNG discipline as the other kernels' begins
+        from jax.scipy.special import ndtri
+
+        u_nu = jnp.clip(u_nu, 1e-7, 1.0 - 1e-7)
+        nu = self.ell_mu + sigma_eff * jnp.asarray(ndtri(u_nu), dtype)
+        two_pi = jnp.asarray(2.0 * np.pi, dtype)
+        theta0 = u_th * two_pi
+        lp0 = jnp.asarray(self._coord_lp(beta, j, b0), dtype)
+        zero = jnp.zeros((C,), jnp.int32)
+        return dict(
+            level=level, L=theta0 - two_pi, R=theta0, budL=zero, budR=zero,
+            b0=b0, lp0=lp0, w=nu, xprop=theta0,
+            phase=jnp.ones((C,), jnp.int32), stepdir=zero, n_shrink=zero,
         )
 
     def init(self, key, n_chains: int, beta0=None) -> FreeRunState:

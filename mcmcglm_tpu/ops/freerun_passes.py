@@ -41,9 +41,16 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     R4 = jax.random.uniform(k_u, (C, 1 + nb), dtype=dtype)
     u_shrink = R4[:, 0]
 
-    # 1-2. the single fused evaluation
+    # 1-2. the single fused evaluation.  Angular kernels
+    # (elliptical/genelliptical) carry the ANGLE in the xprop register
+    # and the auxiliary point nu in w; the proposal is mapped through
+    # the ellipse here, so the evaluation itself stays kernel-agnostic.
     xg = jnp.take(eng.Xt, s.j, axis=0)  # (C, n) row gather
-    delta = s.xprop - s.b0
+    xp_x = (
+        eng.ellipse_point(s.b0, s.w, s.xprop) if eng.is_angular
+        else s.xprop
+    )
+    delta = xp_x - s.b0
     e = s.eta + xg * delta[:, None]
     ld_e = eng._ld_eta(e, eng.y, eng.extra)
     if eng.eval_cache == "scalar":
@@ -52,7 +59,7 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     else:
         dll = eng.reduce_fn(ld_e - s.ld0)
     f = dll + (
-        jnp.asarray(eng._coord_lp(s.beta, s.j, s.xprop), dtype) - s.lp0
+        jnp.asarray(eng._coord_lp(s.beta, s.j, xp_x), dtype) - s.lp0
     )
     above = f > s.level
 
@@ -80,15 +87,18 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
         s.n_shrink + 1 >= eng.max_shrink
     ) & active
     rej = shrinking & (f < s.level)
-    L = jnp.where(rej & (s.xprop < s.b0), s.xprop, L)
-    R = jnp.where(rej & (s.xprop >= s.b0), s.xprop, R)
+    # shrink pivot: angular brackets close toward theta = 0 (the current
+    # point), x-space brackets toward b0
+    piv = jnp.zeros_like(s.b0) if eng.is_angular else s.b0
+    L = jnp.where(rej & (s.xprop < piv), s.xprop, L)
+    R = jnp.where(rej & (s.xprop >= piv), s.xprop, R)
     n_shrink = jnp.where(shrinking, s.n_shrink + 1, s.n_shrink)
 
     # 4. commit.  accept-with-move: the evaluated e / ld(e) are the new
     #    state.  Shrink exhaustion commits b0 (state unchanged) — same
     #    fallback as slice_stepping_out's bounded loop.
     commit = accept_move | exhausted
-    b_star = jnp.where(accept_move, s.xprop, s.b0)
+    b_star = jnp.where(accept_move, xp_x, s.b0)
     eta = jnp.where(accept_move[:, None], e, s.eta)
     if eng.eval_cache == "scalar":
         ld0 = jnp.where(accept_move, lsum_e, s.ld0)
@@ -98,7 +108,7 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     beta = eng._commit_row(s.beta, s.j, b_star)
 
     logw = s.logw
-    if adapt and eng.slice_kernel != "latent":
+    if adapt and eng.slice_kernel == "stepping_out":
         # Robbins-Monro pull of log w_j toward ~3x the accepted move;
         # gated one-hot select touches only committing lanes' (c, j)
         # adapt only on accept-with-move commits: a shrink-exhausted
@@ -216,14 +226,16 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     left = s.stepdir == 0
 
     # -- speculative proposal batteries, (C, K) --
-    # shrink: all-rejections chain (deterministic interval recursion)
+    # shrink: all-rejections chain (deterministic interval recursion);
+    # pivot at theta = 0 for the angular kernels, b0 otherwise
+    piv = jnp.zeros_like(s.b0) if eng.is_angular else s.b0
     xs_sh, Ls_sh, Rs_sh = [], [], []
     Lc, Rc = s.L, s.R
     for k in range(K):
         x = Lc + (Rc - Lc) * U[:, k]
         xs_sh.append(x)
-        Lc = jnp.where(x < s.b0, x, Lc)
-        Rc = jnp.where(x >= s.b0, x, Rc)
+        Lc = jnp.where(x < piv, x, Lc)
+        Rc = jnp.where(x >= piv, x, Rc)
         Ls_sh.append(Lc)
         Rs_sh.append(Rc)
     xs_sh = jnp.stack(xs_sh, 1)
@@ -237,11 +249,17 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
         s.R[:, None] + ks * s.w[:, None],
     )
     xs = jnp.where(stepping[:, None], x_step, xs_sh)
+    # angular: xs are ANGLES for the bracket recursion; map through the
+    # ellipse for everything that sees x-space (evaluation, prior, commit)
+    xs_eval = (
+        eng.ellipse_point(s.b0[:, None], s.w[:, None], xs)
+        if eng.is_angular else xs
+    )
 
     # -- one fused K-proposal evaluation --
-    deltas = xs - s.b0[:, None]  # (C, K)
+    deltas = xs_eval - s.b0[:, None]  # (C, K)
     fprior = (
-        jnp.asarray(eng._coord_lp_k(s.beta, s.j, xs), dtype)
+        jnp.asarray(eng._coord_lp_k(s.beta, s.j, xs_eval), dtype)
         - s.lp0[:, None]
     )  # (C, K)
     shrinking = s.phase == 1
@@ -341,7 +359,7 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     R = jnp.where(stepping, R_step, R_sh)
 
     # -- commit --
-    x_star = jnp.take_along_axis(xs, idx[:, None], 1)[:, 0]
+    x_star = jnp.take_along_axis(xs_eval, idx[:, None], 1)[:, 0]
     commit = accept_move | exhausted
     b_star = jnp.where(accept_move, x_star, s.b0)
     delta_star = jnp.where(accept_move, x_star - s.b0,
@@ -376,7 +394,7 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     beta = eng._commit_row(s.beta, s.j, b_star)
 
     logw = s.logw
-    if adapt and eng.slice_kernel != "latent":
+    if adapt and eng.slice_kernel == "stepping_out":
         move = jnp.abs(b_star - s.b0)
         target = jnp.log(eng.adapt_c * move + 1e-6)
         lw_j = jnp.take_along_axis(s.logw, s.j[:, None], axis=1)[:, 0]

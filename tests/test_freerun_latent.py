@@ -155,7 +155,7 @@ class TestLatentFreeRun:
         X, y, _, _ = problem
         d = X.shape[1]
         prior = mg.IIDPrior(mg.Normal(0, 1), d)
-        with pytest.raises(ValueError, match="stepping_out' or 'latent"):
+        with pytest.raises(ValueError, match="lockstep engine"):
             FreeRunCGGibbs(
                 X, y, "gaussian", prior, slice_kernel="doubling",
                 tuning={"w": 0.5},
