@@ -177,7 +177,8 @@ def mcmcglm(
         # freerun._begin_coord_latent / _begin_coord_elliptical
         freerun_eligible = (
             kernel.name in (
-                "stepping_out", "latent", "elliptical", "genelliptical"
+                "stepping_out", "latent", "elliptical", "genelliptical",
+                "quantile",
             )
             and linear_predictor_calc == "update"
         )
@@ -193,8 +194,9 @@ def mcmcglm(
             if not freerun_eligible:
                 raise ValueError(
                     "engine='freerun' requires stepping_out, latent, "
-                    "elliptical or genelliptical + "
-                    "linear_predictor_calc='update'"
+                    "elliptical, genelliptical or quantile + "
+                    "linear_predictor_calc='update' (doubling runs on "
+                    "the lockstep engine)"
                 )
             use_freerun = True
         elif engine == "auto":
@@ -228,7 +230,7 @@ def mcmcglm(
     elif use_freerun:
         engine_opts = dict(engine_opts or {})
         if kernel is not None and kernel.name in (
-            "latent", "elliptical", "genelliptical"
+            "latent", "elliptical", "genelliptical", "quantile"
         ):
             engine_opts.setdefault("slice_kernel", kernel.name)
         if sample_method == "normal-normal":

@@ -142,7 +142,12 @@ class CGGibbs:
         self.Xt = jnp.asarray(X.T)  # (d, n): row per coordinate (XLA owns layout)
         self.y = jnp.asarray(y, dtype).reshape(-1)
         self.extra = {k: jnp.asarray(v, dtype) for k, v in dict(extra or {}).items()}
-        self.tuning = {k: jnp.asarray(v, dtype) for k, v in dict(tuning or {}).items()}
+        # string-valued tuning (e.g. quantile's pseudo_family="cauchy")
+        # passes through untouched; numeric tuning is device-typed
+        self.tuning = {
+            k: (v if isinstance(v, str) else jnp.asarray(v, dtype))
+            for k, v in dict(tuning or {}).items()
+        }
         if obs_weights is not None:
             w = jnp.asarray(obs_weights, dtype).reshape(-1)
             if w.shape[0] != self.n:

@@ -155,13 +155,23 @@ class FreeRunCGGibbs:
         # through the ellipse before the (kernel-agnostic) fused
         # evaluation — see _begin_coord_elliptical and the is_angular
         # branches in ops/freerun_passes.py.
+        # quantile (Heiner/Johnson/Waller 2024, qslice's own method) is
+        # the same pattern once more: shrinkage on the UNIT interval with
+        # the pivot at u0 = F(b0) (carried in the w register), proposals
+        # mapped through the pseudo-target quantile function, and the
+        # pseudo-density correction folded into the slice comparison —
+        # see _begin_coord_quantile and the quantile branches in
+        # ops/freerun_passes.py.  Only 'doubling' remains lockstep-only
+        # (its back-test needs a nested evaluation loop).
         if slice_kernel not in (
-            "stepping_out", "latent", "elliptical", "genelliptical"
+            "stepping_out", "latent", "elliptical", "genelliptical",
+            "quantile",
         ):
             raise ValueError(
                 "freerun slice_kernel must be 'stepping_out', 'latent', "
-                f"'elliptical' or 'genelliptical' (got {slice_kernel!r}); "
-                "other kernels run on the lockstep engine (engine.CGGibbs)"
+                "'elliptical', 'genelliptical' or 'quantile' (got "
+                f"{slice_kernel!r}); doubling runs on the lockstep "
+                "engine (engine.CGGibbs)"
             )
         if slice_kernel != "stepping_out" and coord_sampler == "conjugate":
             raise ValueError(
@@ -279,6 +289,17 @@ class FreeRunCGGibbs:
         self.ell_mu = float(tuning.get("mu", 0.0))
         self.ell_sigma = float(tuning.get("sigma", 1.0))
         self.ell_df = float(tuning.get("df", 1.0))
+        # quantile pseudo-target (lockstep slice_quantile defaults)
+        self.q_loc = float(tuning.get("pseudo_loc", 0.0))
+        self.q_scale = float(tuning.get("pseudo_scale", 1.0))
+        self.q_family = str(tuning.get("pseudo_family", "cauchy"))
+        if slice_kernel == "quantile" and self.q_family not in (
+            "normal", "cauchy"
+        ):
+            raise ValueError(
+                "pseudo_family must be 'normal' or 'cauchy', got "
+                f"{self.q_family!r}"
+            )
         user_reduce_fn = reduce_fn is not None
         if obs_weights is not None:
             ow = jnp.asarray(obs_weights, dtype).reshape(-1)
@@ -472,6 +493,8 @@ class FreeRunCGGibbs:
             return self._begin_coord_latent(key, beta, logw, j, ubatch)
         if self.is_angular:
             return self._begin_coord_elliptical(key, beta, logw, j, ubatch)
+        if self.slice_kernel == "quantile":
+            return self._begin_coord_quantile(key, beta, logw, j, ubatch)
         dtype = self.dtype
         C = beta.shape[0]
         if ubatch is None:
@@ -616,6 +639,64 @@ class FreeRunCGGibbs:
         return dict(
             level=level, L=theta0 - two_pi, R=theta0, budL=zero, budR=zero,
             b0=b0, lp0=lp0, w=nu, xprop=theta0,
+            phase=jnp.ones((C,), jnp.int32), stepdir=zero, n_shrink=zero,
+        )
+
+    # -- quantile pseudo-target maps (lockstep slice_quantile parity) ------
+
+    def quantile_ppf(self, u):
+        """Pseudo-target quantile function, with the lockstep kernel's
+        eps-clip so endpoint proposals stay finite."""
+        u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+        if self.q_family == "normal":
+            from jax.scipy.special import ndtri
+
+            return self.q_loc + self.q_scale * ndtri(u)
+        return self.q_loc + self.q_scale * jnp.tan(
+            jnp.pi * (u - 0.5)
+        )
+
+    def quantile_cdf(self, x):
+        if self.q_family == "normal":
+            return jax.scipy.stats.norm.cdf(x, self.q_loc, self.q_scale)
+        return 0.5 + jnp.arctan((x - self.q_loc) / self.q_scale) / jnp.pi
+
+    def quantile_logpdf(self, x):
+        z = (x - self.q_loc) / self.q_scale
+        if self.q_family == "normal":
+            return -0.5 * z * z - float(
+                np.log(self.q_scale) + 0.5 * np.log(2.0 * np.pi)
+            )
+        return -jnp.log(jnp.pi * self.q_scale * (1.0 + z * z))
+
+    def _begin_coord_quantile(self, key, beta, logw, j, ubatch=None):
+        """Quantile-slice coordinate begin (Heiner, Johnson & Waller 2024;
+        lockstep reference ops/slice_kernels.py slice_quantile,
+        qslice::slice_quantile).
+
+        The transformed target h(u) = f(F^-1(u)) / psi(F^-1(u)) is slice-
+        sampled by pure shrinkage on the unit interval: bracket (0, 1),
+        pivot u0 = F(b0) (carried in the ``w`` register), proposals mapped
+        through :meth:`quantile_ppf` and the pseudo-density correction
+        psi(b0)/psi(x) folded into the slice comparison by the pass."""
+        dtype = self.dtype
+        C = beta.shape[0]
+        if ubatch is None:
+            k1, k2 = jax.random.split(key, 2)
+            u_lvl = jax.random.uniform(k1, (C,), dtype=dtype)
+            u_first = jax.random.uniform(k2, (C,), dtype=dtype)
+        else:
+            u_lvl, u_first = ubatch[:, 0], ubatch[:, 1]
+        level = jnp.log1p(-u_lvl)  # -Exp(1), on the h scale
+        b0 = jnp.take_along_axis(beta, j[:, None], axis=1)[:, 0]
+        u0 = jnp.clip(
+            jnp.asarray(self.quantile_cdf(b0), dtype), 1e-7, 1.0 - 1e-7
+        )
+        lp0 = jnp.asarray(self._coord_lp(beta, j, b0), dtype)
+        zero = jnp.zeros((C,), jnp.int32)
+        return dict(
+            level=level, L=jnp.zeros((C,), dtype), R=jnp.ones((C,), dtype),
+            budL=zero, budR=zero, b0=b0, lp0=lp0, w=u0, xprop=u_first,
             phase=jnp.ones((C,), jnp.int32), stepdir=zero, n_shrink=zero,
         )
 

@@ -46,10 +46,12 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     # and the auxiliary point nu in w; the proposal is mapped through
     # the ellipse here, so the evaluation itself stays kernel-agnostic.
     xg = jnp.take(eng.Xt, s.j, axis=0)  # (C, n) row gather
-    xp_x = (
-        eng.ellipse_point(s.b0, s.w, s.xprop) if eng.is_angular
-        else s.xprop
-    )
+    if eng.is_angular:
+        xp_x = eng.ellipse_point(s.b0, s.w, s.xprop)
+    elif eng.slice_kernel == "quantile":
+        xp_x = eng.quantile_ppf(s.xprop)  # xprop carries u in (0, 1)
+    else:
+        xp_x = s.xprop
     delta = xp_x - s.b0
     e = s.eta + xg * delta[:, None]
     ld_e = eng._ld_eta(e, eng.y, eng.extra)
@@ -61,6 +63,10 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     f = dll + (
         jnp.asarray(eng._coord_lp(s.beta, s.j, xp_x), dtype) - s.lp0
     )
+    if eng.slice_kernel == "quantile":
+        # transformed target h = f - log psi: the pseudo-density
+        # correction relative to the committed point
+        f = f + eng.quantile_logpdf(s.b0) - eng.quantile_logpdf(xp_x)
     above = f > s.level
 
     stepping = s.phase == 0
@@ -87,9 +93,15 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
         s.n_shrink + 1 >= eng.max_shrink
     ) & active
     rej = shrinking & (f < s.level)
-    # shrink pivot: angular brackets close toward theta = 0 (the current
-    # point), x-space brackets toward b0
-    piv = jnp.zeros_like(s.b0) if eng.is_angular else s.b0
+    # shrink pivot: angular brackets close toward theta = 0 (the
+    # current point), quantile brackets toward u0 = F(b0) (the w
+    # register), x-space brackets toward b0
+    if eng.is_angular:
+        piv = jnp.zeros_like(s.b0)
+    elif eng.slice_kernel == "quantile":
+        piv = s.w
+    else:
+        piv = s.b0
     L = jnp.where(rej & (s.xprop < piv), s.xprop, L)
     R = jnp.where(rej & (s.xprop >= piv), s.xprop, R)
     n_shrink = jnp.where(shrinking, s.n_shrink + 1, s.n_shrink)
@@ -227,8 +239,14 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
 
     # -- speculative proposal batteries, (C, K) --
     # shrink: all-rejections chain (deterministic interval recursion);
-    # pivot at theta = 0 for the angular kernels, b0 otherwise
-    piv = jnp.zeros_like(s.b0) if eng.is_angular else s.b0
+    # pivot at theta = 0 for the angular kernels, u0 (the w register)
+    # for quantile, b0 otherwise
+    if eng.is_angular:
+        piv = jnp.zeros_like(s.b0)
+    elif eng.slice_kernel == "quantile":
+        piv = s.w
+    else:
+        piv = s.b0
     xs_sh, Ls_sh, Rs_sh = [], [], []
     Lc, Rc = s.L, s.R
     for k in range(K):
@@ -249,12 +267,15 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
         s.R[:, None] + ks * s.w[:, None],
     )
     xs = jnp.where(stepping[:, None], x_step, xs_sh)
-    # angular: xs are ANGLES for the bracket recursion; map through the
-    # ellipse for everything that sees x-space (evaluation, prior, commit)
-    xs_eval = (
-        eng.ellipse_point(s.b0[:, None], s.w[:, None], xs)
-        if eng.is_angular else xs
-    )
+    # angular/quantile: xs live in the bracket space (angle / unit
+    # interval); map to x for everything that sees x-space (evaluation,
+    # prior, commit)
+    if eng.is_angular:
+        xs_eval = eng.ellipse_point(s.b0[:, None], s.w[:, None], xs)
+    elif eng.slice_kernel == "quantile":
+        xs_eval = eng.quantile_ppf(xs)
+    else:
+        xs_eval = xs
 
     # -- one fused K-proposal evaluation --
     deltas = xs_eval - s.b0[:, None]  # (C, K)
@@ -262,6 +283,11 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
         jnp.asarray(eng._coord_lp_k(s.beta, s.j, xs_eval), dtype)
         - s.lp0[:, None]
     )  # (C, K)
+    if eng.slice_kernel == "quantile":
+        fprior = fprior + (
+            eng.quantile_logpdf(s.b0)[:, None]
+            - eng.quantile_logpdf(xs_eval)
+        )
     shrinking = s.phase == 1
     # >= 1 for active shrink lanes; clamped because inactive lanes keep
     # evaluating past their quota without ever committing

@@ -46,6 +46,11 @@ def main():
         ("stepping_out", {"slice_kernel": "stepping_out",
                           "tuning": {"w": 0.5}}),
         ("latent", {"slice_kernel": "latent", "tuning": {"rate": rate}}),
+        # sigma = prior sd: the standard ESS choice (prior as auxiliary);
+        # unlike stepping_out/latent the bracket is not per-coordinate
+        # adapted, so ESS/draw is expected lower — recorded honestly
+        ("elliptical", {"slice_kernel": "elliptical",
+                        "tuning": {"mu": 0.0, "sigma": 1.0}}),
     ]
     for name, kw in variants:
         t0 = time.perf_counter()

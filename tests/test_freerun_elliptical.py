@@ -194,3 +194,123 @@ def test_api_elliptical_routes_to_freerun():
     prec = X.T @ X + np.eye(d)
     mo = np.linalg.solve(prec, X.T @ y)
     np.testing.assert_allclose(np.asarray(fit.coef()), mo, atol=0.06)
+
+
+class TestQuantileFreeRun:
+    """Quantile slice kernel (Heiner/Johnson/Waller 2024 — qslice's own
+    method) at freerun speed: unit-interval shrinkage with pivot u0 in
+    the w register, ppf transform, pseudo-density correction in f."""
+
+    @pytest.mark.parametrize("tuning", [
+        {"pseudo_family": "cauchy", "pseudo_scale": 1.0},
+        {"pseudo_family": "normal", "pseudo_scale": 2.0},
+    ])
+    def test_matches_conjugate_oracle(self, problem, tuning):
+        X, y, mean, cov = problem
+        draws, _, _, _ = _fit(X, y, "quantile", tuning)
+        post = draws[:, 100:, :].reshape(-1, X.shape[1])
+        np.testing.assert_allclose(post.mean(0), mean, atol=0.05)
+        np.testing.assert_allclose(
+            post.std(0), np.sqrt(np.diag(cov)), rtol=0.15
+        )
+
+    def test_matches_lockstep_quantile_in_law(self, problem):
+        X, y, _, _ = problem
+        d = X.shape[1]
+        tun = {"pseudo_family": "cauchy", "pseudo_scale": 1.0}
+        draws_fr, nev_fr, _, _ = _fit(X, y, "quantile", tun, seed=1)
+        eng = CGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), d),
+            extra={"sd": 1.0},
+            config=EngineConfig(slice_kernel="quantile"), tuning=tun,
+        )
+        betas, nev_ls, _ = eng.sample(jax.random.key(1), 350, n_chains=8)
+        post_ls = betas[:, 101:, :].reshape(-1, d)
+        post_fr = draws_fr[:, 100:, :].reshape(-1, d)
+        np.testing.assert_allclose(
+            post_fr.mean(0), post_ls.mean(0), atol=0.06
+        )
+        np.testing.assert_allclose(
+            post_fr.std(0), post_ls.std(0), rtol=0.2
+        )
+        nev_ls_rate = np.asarray(nev_ls).mean() / d
+        assert abs(nev_fr / d - nev_ls_rate) / nev_ls_rate < 0.15, (
+            nev_fr / d, nev_ls_rate,
+        )
+
+    def test_spec_k_and_pallas_battery(self, problem):
+        X, y, mean, _ = problem
+        tun = {"pseudo_family": "cauchy", "pseudo_scale": 1.0}
+        for kw in (dict(spec_k=4),
+                   dict(spec_k=4, battery_impl="pallas2",
+                        eval_cache="scalar")):
+            draws, _, _, _ = _fit(X, y, "quantile", tun, seed=2, **kw)
+            post = draws[:, 100:, :].reshape(-1, X.shape[1])
+            np.testing.assert_allclose(post.mean(0), mean, atol=0.05)
+
+    def test_run_passes_bitwise_and_validation(self, problem):
+        X, y, _, _ = problem
+        d = X.shape[1]
+        tun = {"pseudo_family": "normal", "pseudo_scale": 1.5}
+
+        def make():
+            return FreeRunCGGibbs(
+                X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), d),
+                extra={"sd": 1.0}, slice_kernel="quantile", tuning=tun,
+            )
+
+        e1 = make()
+        s1 = e1.init(jax.random.key(7), 8)
+        s1, d1, _ = e1.run(s1, 25)
+        e2 = make()
+        s2 = e2.init(jax.random.key(7), 8)
+        sc = dr = nb = None
+        while True:
+            s2, sc, dr, nb = e2.run_passes(s2, sc, dr, nb, 25, 33)
+            if (np.asarray(sc) >= 25).all():
+                break
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(dr))
+        with pytest.raises(ValueError, match="pseudo_family"):
+            FreeRunCGGibbs(
+                X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), d),
+                slice_kernel="quantile",
+                tuning={"pseudo_family": "laplace"},
+            )
+
+    def test_sharded_quantile(self, problem):
+        from mcmcglm_tpu.parallel import (
+            ObsShardedFreeRunCGGibbs,
+            make_mesh,
+        )
+
+        X, y, mean, _ = problem
+        d = X.shape[1]
+        eng = ObsShardedFreeRunCGGibbs(
+            X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), d),
+            extra={"sd": 1.0}, mesh=make_mesh(2, 4),
+            slice_kernel="quantile",
+            tuning={"pseudo_family": "cauchy"},
+        )
+        st = eng.init(jax.random.key(9), 8)
+        st, _, _ = eng.warmup(st, 50)
+        st, draws, _ = eng.run(st, 300)
+        post = np.asarray(draws)[:, 100:, :].reshape(-1, d)
+        np.testing.assert_allclose(post.mean(0), mean, atol=0.06)
+
+
+def test_api_quantile_routes_to_freerun():
+    rng = np.random.default_rng(12)
+    n, d = 300, 3
+    X = np.column_stack([np.ones(n), rng.normal(size=(n, d - 1))])
+    beta = np.array([1.0, 1.5, -0.5])
+    y = rng.normal(X @ beta, 1.0)
+    fit = mg.mcmcglm(
+        X=X, y=y, family="gaussian",
+        beta_prior=mg.IIDPrior(mg.Normal(0, 1), d),
+        log_likelihood_extra_args={"sd": 1.0},
+        slice_fn="quantile", pseudo_family="cauchy", engine="freerun",
+        n_samples=300, burnin=80, n_chains=8, seed=0,
+    )
+    prec = X.T @ X + np.eye(d)
+    mo = np.linalg.solve(prec, X.T @ y)
+    np.testing.assert_allclose(np.asarray(fit.coef()), mo, atol=0.06)
