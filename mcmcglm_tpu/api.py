@@ -100,9 +100,12 @@ def mcmcglm(
       (burn-in draws are discarded, so adaptation there is semantically
       free) and samples with the frozen widths using the m=1 shrink-only
       slice kernel (~1.4 target evaluations per coordinate).  "auto"
-      resolves to freerun for the hot configuration (slice_sampling +
-      stepping_out + update + thin=1), else to the general "xla"
-      scan/while engine.  "fused" is the whole-sweep Pallas kernel
+      resolves to freerun for five of the six kernels (stepping_out,
+      latent, elliptical, genelliptical, quantile — all pure-shrinkage
+      kernels ride the same automaton) with
+      linear_predictor_calc='update'; doubling (whose back-test is a
+      nested evaluation loop) and the "naive" mode run on the general
+      "xla" scan/while engine.  "fused" is the whole-sweep Pallas kernel
       (TPU + iid prior + stepping_out only; ~0.83x the XLA engine at
       C=256 — kept for kernel-level experimentation).
     - ``engine_opts`` — extra constructor options for the freerun engines

@@ -420,9 +420,14 @@ def main():
         # a 60/60 window recorded R-hat 1.0315 at 123.9 min-ESS/s
         # (already 3.2x the r4 slice path) — the longer window is what
         # reaches the 1.01 convergence bar
+        # C=256: at d=10k/n=2k the (C, n) eta streams are tiny and the
+        # pass is fixed-overhead-bound, so chains are cheap — measured
+        # C=64 -> 256: min-ESS/s 118.2 -> 188.6 (1.6x; wall 46.5 ->
+        # 115.0 s for the same 200 sweeps), both rows in
+        # results/round5_baseline_configs_tpu.jsonl's transcript
         run_config("gaussian_p10k_stress", "gaussian",
                    1000 if s else 2000, 1000 if s else 10_000,
-                   mg.Normal(0, 1), 0.5, 8 if s else 64,
+                   mg.Normal(0, 1), 0.5, 8 if s else 256,
                    10 if s else 200, 10 if s else 200,
                    extra={"sd": 1.0}, init_at_prior_mean=True,
                    coord_sampler="conjugate", slice_crosscheck=not s,
