@@ -100,12 +100,14 @@ def mcmcglm(
       (burn-in draws are discarded, so adaptation there is semantically
       free) and samples with the frozen widths using the m=1 shrink-only
       slice kernel (~1.4 target evaluations per coordinate).  "auto"
-      resolves to freerun for five of the six kernels (stepping_out,
-      latent, elliptical, genelliptical, quantile — all pure-shrinkage
-      kernels ride the same automaton) with
-      linear_predictor_calc='update'; doubling (whose back-test is a
-      nested evaluation loop) and the "naive" mode run on the general
-      "xla" scan/while engine.  "fused" is the whole-sweep Pallas kernel
+      resolves to freerun for ALL six kernels (stepping_out, doubling,
+      latent, elliptical, genelliptical, quantile) with
+      linear_predictor_calc='update' — the pure-shrinkage kernels ride
+      the speculative battery automaton; doubling runs the classic
+      one-evaluation pass with its Fig. 6 back-test unrolled to extra
+      automaton phases (ops/freerun_doubling.py).  The "naive" mode
+      runs on the general "xla" scan/while engine.  "fused" is the
+      whole-sweep Pallas kernel
       (TPU + iid prior + stepping_out only; ~0.83x the XLA engine at
       C=256 — kept for kernel-level experimentation).
     - ``engine_opts`` — extra constructor options for the freerun engines
@@ -177,11 +179,14 @@ def mcmcglm(
         # too: all are pure shrinkage (latent on a carried bracket, the
         # elliptical pair on the angle bracket), so the automaton reuses
         # the whole battery/commit machinery — see
-        # freerun._begin_coord_latent / _begin_coord_elliptical
+        # freerun._begin_coord_latent / _begin_coord_elliptical.
+        # doubling completes the set (all six qslice kernels on the fast
+        # automaton): its Fig. 6 back-test unrolls to extra automaton
+        # phases at one evaluation per pass (ops/freerun_doubling.py)
         freerun_eligible = (
             kernel.name in (
                 "stepping_out", "latent", "elliptical", "genelliptical",
-                "quantile",
+                "quantile", "doubling",
             )
             and linear_predictor_calc == "update"
         )
@@ -196,10 +201,10 @@ def mcmcglm(
         elif engine == "freerun":
             if not freerun_eligible:
                 raise ValueError(
-                    "engine='freerun' requires stepping_out, latent, "
-                    "elliptical, genelliptical or quantile + "
-                    "linear_predictor_calc='update' (doubling runs on "
-                    "the lockstep engine)"
+                    "engine='freerun' requires a registered qslice-style "
+                    "kernel (stepping_out, doubling, latent, elliptical, "
+                    "genelliptical or quantile) + "
+                    "linear_predictor_calc='update'"
                 )
             use_freerun = True
         elif engine == "auto":
@@ -233,11 +238,15 @@ def mcmcglm(
     elif use_freerun:
         engine_opts = dict(engine_opts or {})
         if kernel is not None and kernel.name in (
-            "latent", "elliptical", "genelliptical", "quantile"
+            "latent", "elliptical", "genelliptical", "quantile", "doubling"
         ):
             engine_opts.setdefault("slice_kernel", kernel.name)
         if sample_method == "normal-normal":
             engine_opts["coord_sampler"] = "conjugate"
+        elif engine_opts.get("slice_kernel") == "doubling":
+            # doubling runs the classic one-evaluation pass only (the
+            # speculative battery does not compose with its back-test)
+            engine_opts.pop("spec_k", None)
         elif "spec_k" not in engine_opts and jax.default_backend() != "cpu":
             # accelerator default: K-speculative batteries through the
             # fused Pallas evaluator — ~2.0x the classic pass on the

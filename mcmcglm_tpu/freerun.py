@@ -101,12 +101,14 @@ class FreeRunState(NamedTuple):
 
 
 class FreeRunCGGibbs:
-    """Lockstep-free CGGibbs sampler (stepping-out slice kernel).
+    """Lockstep-free CGGibbs sampler (all six univariate slice kernels).
 
     Same problem signature as :class:`~mcmcglm_tpu.engine.CGGibbs`
-    restricted to the hot configuration —
-    ``sample_method='slice_sampling'``, ``slice_kernel='stepping_out'``,
-    ``linear_predictor_calc='update'``.  Any :class:`BetaPrior` whose
+    restricted to ``sample_method='slice_sampling'`` (or the exact
+    ``coord_sampler='conjugate'`` path) with
+    ``linear_predictor_calc='update'``; every registered qslice-style
+    kernel — stepping_out, doubling, latent, elliptical, genelliptical,
+    quantile — runs on the automaton.  Any :class:`BetaPrior` whose
     ``coord_log_prob`` accepts a traced coordinate index is supported
     (all built-ins do).
     """
@@ -145,7 +147,6 @@ class FreeRunCGGibbs:
         # instead of adapted stepping-out widths.  This closes the
         # reference's "all functions from qslice" claim
         # (R/mcmcglm.R:35-39) for a second kernel at full engine speed;
-        # doubling/elliptical/quantile remain on the lockstep engine.
         # elliptical / genelliptical additionally run at freerun speed:
         # both are pure shrinkage on the ANGLE bracket (theta_lo, theta_hi)
         # (Murray et al. 2010; Nishihara et al. 2014 via the t scale
@@ -161,17 +162,22 @@ class FreeRunCGGibbs:
         # mapped through the pseudo-target quantile function, and the
         # pseudo-density correction folded into the slice comparison —
         # see _begin_coord_quantile and the quantile branches in
-        # ops/freerun_passes.py.  Only 'doubling' remains lockstep-only
-        # (its back-test needs a nested evaluation loop).
+        # ops/freerun_passes.py.
+        # doubling (Neal 2003, Figs. 4-6) completes the set: its Fig. 6
+        # back-test — a nested evaluation loop in the lockstep kernel —
+        # unrolls to two more automaton phases at one evaluation per
+        # pass (ops/freerun_doubling.py; spec_k=1 only, since the
+        # K-speculative all-rejections recursion assumes proposal
+        # acceptance needs no further evaluations, which the back-test
+        # breaks).
         if slice_kernel not in (
             "stepping_out", "latent", "elliptical", "genelliptical",
-            "quantile",
+            "quantile", "doubling",
         ):
             raise ValueError(
-                "freerun slice_kernel must be 'stepping_out', 'latent', "
-                "'elliptical', 'genelliptical' or 'quantile' (got "
-                f"{slice_kernel!r}); doubling runs on the lockstep "
-                "engine (engine.CGGibbs)"
+                "freerun slice_kernel must be one of 'stepping_out', "
+                "'doubling', 'latent', 'elliptical', 'genelliptical' or "
+                f"'quantile' (got {slice_kernel!r})"
             )
         if slice_kernel != "stepping_out" and coord_sampler == "conjugate":
             raise ValueError(
@@ -183,8 +189,28 @@ class FreeRunCGGibbs:
         # uniforms consumed per coordinate begin: stepping_out needs
         # (level, interval position, stepout split); latent needs
         # (level, midpoint, width Exp, first proposal); elliptical needs
-        # (level, nu normal score, theta0)
-        self._n_begin_u = 4 if slice_kernel == "latent" else 3
+        # (level, nu normal score, theta0); doubling needs (level,
+        # interval position)
+        self._n_begin_u = (
+            4 if slice_kernel == "latent"
+            else 2 if slice_kernel == "doubling"
+            else 3
+        )
+        if slice_kernel == "doubling":
+            if spec_k != 1:
+                raise ValueError(
+                    "slice_kernel='doubling' requires spec_k=1: the "
+                    "speculative battery's all-rejections proposal "
+                    "recursion does not compose with the Fig. 6 "
+                    "back-test (ops/freerun_doubling.py)"
+                )
+            if battery_impl not in ("auto", "xla"):
+                raise ValueError(
+                    "slice_kernel='doubling' runs the classic "
+                    "one-evaluation pass; drop battery_impl="
+                    f"{battery_impl!r}"
+                )
+            battery_impl = "xla"  # no Pallas padding / 3-D eta layout
         # coord_sampler="conjugate": exact normal coordinate conditionals
         # (gaussian family + identity link + diagonal normal prior only;
         # the reference's "normal-normal" validation path, R/sampling.R:
@@ -264,13 +290,18 @@ class FreeRunCGGibbs:
         if (
             "w" not in tuning
             and coord_sampler == "slice"
-            and slice_kernel == "stepping_out"
+            and slice_kernel in ("stepping_out", "doubling")
         ):
             raise ValueError(
                 "A tuning parameter for the slice kernel is missing: ['w'] "
-                "required by 'stepping_out'"
+                f"required by {slice_kernel!r}"
             )
         self.w0 = float(tuning.get("w", 1.0))  # unused by 'conjugate'
+        # doubling budget (Fig. 4's p; the lockstep slice_doubling's
+        # max_doublings keyword, default 32 there too).  Capped at 60:
+        # p doublings scale the interval by 2^p, and past ~2^60 * w a
+        # float32 interval risks overflow before the budget bites.
+        self.max_doublings = min(int(tuning.get("max_doublings", 32)), 60)
         # latent's only tuning: the Exp rate of the width refresh (the
         # lockstep slice_latent default, ops/slice_kernels.py)
         self.rate = float(tuning.get("rate", 0.3))
@@ -375,6 +406,15 @@ class FreeRunCGGibbs:
         # same, over a (C, K) proposal battery
         self._coord_lp_k = jax.vmap(self._coord_lp, in_axes=(None, None, 1),
                                     out_axes=1)
+        # the state pytree class: doubling extends FreeRunState with the
+        # Fig. 6 back-test registers (ops/freerun_doubling.py); the run
+        # drivers and sharded wrappers are state-class-agnostic
+        if slice_kernel == "doubling" and coord_sampler == "slice":
+            from .ops.freerun_doubling import DoublingState
+
+            self.state_cls = DoublingState
+        else:
+            self.state_cls = FreeRunState
         self._run_cache: dict = {}
 
         from .ops.freerun_batteries import configure_battery
@@ -495,6 +535,8 @@ class FreeRunCGGibbs:
             return self._begin_coord_elliptical(key, beta, logw, j, ubatch)
         if self.slice_kernel == "quantile":
             return self._begin_coord_quantile(key, beta, logw, j, ubatch)
+        if self.slice_kernel == "doubling":
+            return self._begin_coord_doubling(key, beta, logw, j, ubatch)
         dtype = self.dtype
         C = beta.shape[0]
         if ubatch is None:
@@ -700,6 +742,46 @@ class FreeRunCGGibbs:
             phase=jnp.ones((C,), jnp.int32), stepdir=zero, n_shrink=zero,
         )
 
+    def _begin_coord_doubling(self, key, beta, logw, j, ubatch=None):
+        """Doubling-slice coordinate begin (Neal 2003 Fig. 4; lockstep
+        reference ops/slice_kernels.py slice_doubling — the qslice
+        algorithm the reference advertises through R/mcmcglm.R:35-39).
+
+        Randomly positions the width-w interval around b0 and schedules
+        the INITIAL LEFT endpoint as the first evaluation; the expansion
+        then proceeds one endpoint evaluation per pass, doubling a
+        coin-chosen side while either endpoint is above the level
+        (ops/freerun_doubling.py).  ``budL`` carries the remaining
+        doubling budget p; the back-test registers start cleared.  Two
+        uniforms per begin: level, interval position.  Widths are the
+        fixed user ``w`` (no adaptation — lockstep parity; doubling's
+        geometric expansion is itself the defence against a badly
+        sized w)."""
+        dtype = self.dtype
+        C = beta.shape[0]
+        if ubatch is None:
+            k1, k2 = jax.random.split(key, 2)
+            u_lvl = jax.random.uniform(k1, (C,), dtype=dtype)
+            u_pos = jax.random.uniform(k2, (C,), dtype=dtype)
+        else:
+            u_lvl, u_pos = ubatch[:, 0], ubatch[:, 1]
+        level = jnp.log1p(-u_lvl)  # -Exp(1), exact for u in [0, 1)
+        w = jnp.exp(jnp.take_along_axis(logw, j[:, None], axis=1)[:, 0])
+        b0 = jnp.take_along_axis(beta, j[:, None], axis=1)[:, 0]
+        L = b0 - w * u_pos
+        R = L + w
+        lp0 = jnp.asarray(self._coord_lp(beta, j, b0), dtype)
+        zero = jnp.zeros((C,), jnp.int32)
+        false = jnp.zeros((C,), bool)
+        return dict(
+            level=level, L=L, R=R,
+            budL=jnp.full((C,), self.max_doublings, jnp.int32), budR=zero,
+            b0=b0, lp0=lp0, w=w, xprop=L,
+            phase=zero, stepdir=zero, n_shrink=zero,
+            x1=b0, eL=L, eR=R, e_aL=false, e_aR=false,
+            hatL=L, hatR=R, h_aL=false, h_aR=false, dsep=false,
+        )
+
     def init(self, key, n_chains: int, beta0=None) -> FreeRunState:
         """Initial state for ``n_chains`` chains.  ``beta0`` (optional,
         (d,) or (C, d)) overrides the default prior draw — e.g. the prior
@@ -741,7 +823,7 @@ class FreeRunCGGibbs:
         logw_j = reg.pop("logw_j", None)
         if logw_j is not None:  # latent: commit the refreshed width
             logw = self._commit_row(logw, j0, logw_j)
-        return FreeRunState(
+        return self.state_cls(
             beta=beta, eta=eta, ld0=ld0, key=k_run, logw=logw,
             j=j0, nev=jnp.zeros((C,), jnp.int32),
             **reg,
@@ -810,10 +892,21 @@ class FreeRunCGGibbs:
         return run_pass_conj(self, s, sweep_count, draws, nevbuf, n_sweeps,
                              adapt, shrink_only, stepout_sweeps)
 
+    def _pass_doubling(self, s, sweep_count, draws, nevbuf, n_sweeps, adapt,
+                       shrink_only, stepout_sweeps=None):
+        """One evaluation + doubling-automaton advance per chain."""
+        from .ops.freerun_doubling import run_pass_doubling
+
+        return run_pass_doubling(self, s, sweep_count, draws, nevbuf,
+                                 n_sweeps, adapt, shrink_only,
+                                 stepout_sweeps)
+
     def _step_fn(self):
         """The per-pass kernel for this engine's configuration."""
         if self.coord_sampler == "conjugate":
             return self._pass_conj
+        if self.slice_kernel == "doubling":
+            return self._pass_doubling
         return self._pass_spec if self.spec_k > 1 else self._pass
 
     # -- runs -------------------------------------------------------------

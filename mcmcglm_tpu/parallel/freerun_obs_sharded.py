@@ -214,7 +214,7 @@ class ObsShardedFreeRunCGGibbs:
 
     def _specs(self):
         s = P(CHAIN_AXIS)
-        return FreeRunState(
+        base = dict(
             beta=P(CHAIN_AXIS, None),
             eta=P(CHAIN_AXIS, OBS_AXIS),
             ld0=(
@@ -225,6 +225,10 @@ class ObsShardedFreeRunCGGibbs:
             j=s, phase=s, stepdir=s, level=s, L=s, R=s, budL=s, budR=s,
             b0=s, lp0=s, w=s, xprop=s, n_shrink=s, nev=s,
         )
+        # state-class extension registers (e.g. DoublingState's back-test
+        # block) are per-chain (C,) arrays: chain-sharded, obs-replicated
+        cls = self.inner.state_cls
+        return cls(**base, **{f: s for f in cls._fields if f not in base})
 
     def _check_chains(self, n_chains: int) -> int:
         if n_chains % self.n_chain_shards:

@@ -87,13 +87,17 @@ class ShardedFreeRunCGGibbs:
             P(CHAIN_AXIS, None, None) if self.inner._eta3 is not None
             else P(CHAIN_AXIS, None)
         )
-        return FreeRunState(
+        base = dict(
             beta=P(CHAIN_AXIS, None), eta=eta_spec,
             ld0=s if self.inner.eval_cache == "scalar" else P(CHAIN_AXIS, None),
             key=s, logw=P(CHAIN_AXIS, None),
             j=s, phase=s, stepdir=s, level=s, L=s, R=s, budL=s, budR=s,
             b0=s, lp0=s, w=s, xprop=s, n_shrink=s, nev=s,
         )
+        # any state-class extension registers (e.g. DoublingState's
+        # back-test block) are per-chain (C,) arrays: chain-sharded
+        cls = self.inner.state_cls
+        return cls(**base, **{f: s for f in cls._fields if f not in base})
 
     def _check_chains(self, n_chains: int) -> int:
         if n_chains % self.n_shards:
