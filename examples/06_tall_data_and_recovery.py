@@ -1,11 +1,13 @@
-"""Tall-data sharding, on-device diagnostics, and the latent kernel.
+"""Tall-data sharding, on-device diagnostics, and alternative kernels.
 
 Round-5 surface tour: (1) the obs-sharded freerun engine — the fast
 automaton over a (chain x obs) mesh, for datasets whose design matrix or
 linear-predictor slab exceeds one chip's HBM; (2) streaming min-ESS on
 device — the split-chain autocovariance accumulator that replaces the
-(C, K, d) host gather with a (d,) vector; (3) the latent slice kernel
-(Li & Walker 2020) running at full freerun speed.
+(C, K, d) host gather with a (d,) vector; (3) the latent (Li & Walker
+2020) and doubling (Neal 2003, Figs. 4-6) slice kernels running at full
+freerun speed — with doubling, all six qslice kernels are on the fast
+automaton.
 
 On CPU run with 8 virtual devices:
 
@@ -57,12 +59,22 @@ print("min ESS (on-device streaming):", round(float(dev_ess.min()), 1))
 print("min ESS (host FFT, same draws):",
       round(float(np.min(mg.ess(np.asarray(kept)))), 1))
 
-# -- 3. the latent slice kernel at freerun speed ------------------------
+# -- 3. alternative slice kernels at freerun speed ----------------------
 fit = mg.mcmcglm(
     X=X[:2000], y=y[:2000], family="binomial",
     beta_prior=mg.IIDPrior(mg.Normal(0, 1), d),
     slice_fn="latent", rate=0.5, engine="freerun",
     n_samples=300, burnin=80, n_chains=8, seed=0,
 )
-print("latent-kernel coef head:", np.asarray(fit.coef())[:4].round(3))
-print("truth head:             ", beta_true[:4].round(3))
+print("latent-kernel coef head:  ", np.asarray(fit.coef())[:4].round(3))
+
+# doubling expands the interval geometrically (robust to a badly sized
+# w) and replays Neal's Fig. 6 back-test as extra automaton phases
+fit = mg.mcmcglm(
+    X=X[:2000], y=y[:2000], family="binomial",
+    beta_prior=mg.IIDPrior(mg.Normal(0, 1), d),
+    slice_fn="doubling", w=0.1, engine="freerun",
+    n_samples=300, burnin=80, n_chains=8, seed=0,
+)
+print("doubling-kernel coef head:", np.asarray(fit.coef())[:4].round(3))
+print("truth head:               ", beta_true[:4].round(3))

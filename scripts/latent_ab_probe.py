@@ -51,13 +51,29 @@ def main():
         # adapted, so ESS/draw is expected lower — recorded honestly
         ("elliptical", {"slice_kernel": "elliptical",
                         "tuning": {"mu": 0.0, "sigma": 1.0}}),
+        # doubling: classic one-evaluation pass only (the Fig. 6
+        # back-test does not compose with the speculative battery), so
+        # its pass rate is bounded by the spec_k=1 automaton; recorded
+        # as the completeness entry for the sixth kernel
+        ("doubling", {"slice_kernel": "doubling",
+                      "tuning": {"w": float(os.environ.get(
+                          "AB_DOUBLING_W", "0.5"))},
+                      "spec_k": 1, "battery_impl": "xla"}),
     ]
+    only = os.environ.get("AB_KERNELS")
+    if only:
+        sel = set(only.split(","))
+        variants = [v for v in variants if v[0] in sel]
     for name, kw in variants:
         t0 = time.perf_counter()
+        kwargs = dict(
+            spec_k=4 if on_accel else 1,
+            battery_impl=battery if on_accel else "auto",
+        )
+        kwargs.update(kw)
         eng = FreeRunCGGibbs(
             X, y, "binomial", mg.IIDPrior(mg.Normal(0.0, 1.0), d),
-            spec_k=4 if on_accel else 1,
-            battery_impl=battery if on_accel else "auto", **kw,
+            **kwargs,
         )
         state = eng.init(jax.random.key(0), C)
         state, _, _ = eng.warmup(state, burn)
