@@ -66,13 +66,14 @@ EXAMPLES = [
     ),
     (
         "06_tall_data_and_recovery.py",
-        "Tall data, on-device diagnostics, latent kernel",
+        "Tall data, on-device diagnostics, alternative kernels",
         "The obs-sharded freerun engine (fast automaton over a "
         "(chain x obs) mesh, one psum of partial log-lik sums per pass) "
         "for datasets exceeding one chip's HBM; streaming min-ESS on "
         "device (split-chain autocovariance accumulator — only a (d,) "
-        "vector reaches the host); and the latent slice kernel "
-        "(Li & Walker 2020) at full freerun speed.  Fault-injected "
+        "vector reaches the host); and the latent (Li & Walker 2020) "
+        "and doubling (Neal 2003) slice kernels at full freerun speed "
+        "— all six qslice kernels ride the automaton.  Fault-injected "
         "restart recovery is exercised separately by "
         "`scripts/fault_injection_dryrun.py`.",
     ),
