@@ -257,7 +257,15 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
     warm_s = time.perf_counter() - t0
     from mcmcglm_tpu.parallel.pooled import ChainMoments
 
-    if thin == 1:
+    # POD_MODE=chunked forces the chunked run_thinned collection even at
+    # thin=1 — the r4-canonical protocol.  The barrier-free run_passes
+    # mode pays a host-synced dispatch round-trip per 1500-pass block,
+    # which through THIS environment's remote tunnel dominates the
+    # dispatch (~20-26 s/block vs ~3.4 s of device compute; both r4's
+    # v2 record and the r5 re-record are tunnel-limited in that mode),
+    # so the chunked mode is the honest throughput protocol here.
+    passes_mode = thin == 1 and _os.environ.get("POD_MODE") != "chunked"
+    if passes_mode:
         # barrier-free pass-bounded collection (run_passes): chains run
         # freely across sweep boundaries for the WHOLE timed section —
         # the per-chunk cross-chain sweep tail (~10-15% of wall-clock at
@@ -350,7 +358,7 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
     evals_per_sweep = float(np.mean(np.asarray(state.nev) - nev0)) / sweeps
     out = {
         "config": "pod_%d_chains_p%d_logistic" % (n_chains, d),
-        "engine": ("ShardedFreeRunCGGibbs+run_passes" if thin == 1
+        "engine": ("ShardedFreeRunCGGibbs+run_passes" if passes_mode
                    else "ShardedFreeRunCGGibbs+run_thinned"),
         "spec_k": eng.inner.spec_k,
         "battery": eng.inner.battery_impl,
@@ -369,7 +377,7 @@ def run_pooled_4096(n, d, n_chains, burnin, n_outer, thin, engine_opts=None,
         "median_ess_per_s_thinned": round(float(np.median(ess)) / dt, 2),
         "max_err_sd": round(float(err_sd.max()), 3),
     }
-    if thin == 1:
+    if passes_mode:
         out["min_ess_per_s_device"] = round(float(ess_dev.min()) / dt, 2)
         out["device_ess_seconds"] = round(dev_ess_s, 2)
         out["host_gather_seconds"] = round(gather_s, 2)
