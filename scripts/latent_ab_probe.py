@@ -51,6 +51,11 @@ def main():
         # adapted, so ESS/draw is expected lower — recorded honestly
         ("elliptical", {"slice_kernel": "elliptical",
                         "tuning": {"mu": 0.0, "sigma": 1.0}}),
+        ("genelliptical", {"slice_kernel": "genelliptical",
+                           "tuning": {"mu": 0.0, "sigma": 1.0,
+                                      "df": 5.0}}),
+        ("quantile", {"slice_kernel": "quantile",
+                      "tuning": {"pseudo_loc": 0.0, "pseudo_scale": 1.0}}),
         # doubling: classic one-evaluation pass only (the Fig. 6
         # back-test does not compose with the speculative battery), so
         # its pass rate is bounded by the spec_k=1 automaton; recorded
