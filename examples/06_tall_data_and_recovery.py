@@ -77,4 +77,18 @@ fit = mg.mcmcglm(
     n_samples=300, burnin=80, n_chains=8, seed=0,
 )
 print("doubling-kernel coef head:", np.asarray(fit.coef())[:4].round(3))
+
+# quantile with ADAPTED pseudo-targets (Heiner et al. 2024): each
+# (chain, coordinate) learns its own pseudo-target loc/scale during
+# warmup (Robbins-Monro, like the stepping-out widths), frozen for
+# sampling — fixes the fixed global pseudo-target's two failure modes
+# (coordinates away from loc; narrow/skewed conditionals)
+fit = mg.mcmcglm(
+    X=X[:2000], y=y[:2000], family="binomial",
+    beta_prior=mg.IIDPrior(mg.Normal(0, 1), d),
+    slice_fn="quantile", pseudo_adapt=True, pseudo_c=5.0,
+    engine="freerun",
+    n_samples=300, burnin=80, n_chains=8, seed=0,
+)
+print("adapted-quantile coef head:", np.asarray(fit.coef())[:4].round(3))
 print("truth head:               ", beta_true[:4].round(3))

@@ -70,7 +70,7 @@ from .models.families import Family, check_family
 from .models.priors import BetaPrior
 from .utils.linalg import matvec
 
-__all__ = ["FreeRunCGGibbs", "FreeRunState"]
+__all__ = ["FreeRunCGGibbs", "FreeRunState", "QuantileState"]
 
 
 class FreeRunState(NamedTuple):
@@ -98,6 +98,36 @@ class FreeRunState(NamedTuple):
     xprop: jax.Array  # proposal to evaluate next pass
     n_shrink: jax.Array  # shrink evals this coordinate, int32
     nev: jax.Array  # (C,) total target evaluations, int32
+
+
+class QuantileState(NamedTuple):
+    """FreeRunState extended with the adapted quantile pseudo-target's
+    per-(chain, coordinate) location buffer (``pseudo_adapt=True``; the
+    log pseudo-scale rides in the kernel-unused ``logw`` buffer).  Field
+    prefix matches FreeRunState so the run drivers, sharded wrappers and
+    checkpointing stay state-class-agnostic (same pattern as
+    ops/freerun_doubling.py's DoublingState)."""
+
+    beta: jax.Array
+    eta: jax.Array
+    ld0: jax.Array
+    key: jax.Array
+    logw: jax.Array  # (C, d) log pseudo-target scales
+    j: jax.Array
+    phase: jax.Array
+    stepdir: jax.Array
+    level: jax.Array
+    L: jax.Array
+    R: jax.Array
+    budL: jax.Array
+    budR: jax.Array
+    b0: jax.Array
+    lp0: jax.Array
+    w: jax.Array
+    xprop: jax.Array
+    n_shrink: jax.Array
+    nev: jax.Array
+    qloc: jax.Array  # (C, d) pseudo-target locations
 
 
 class FreeRunCGGibbs:
@@ -331,6 +361,31 @@ class FreeRunCGGibbs:
                 "pseudo_family must be 'normal' or 'cauchy', got "
                 f"{self.q_family!r}"
             )
+        # pseudo_adapt=True: per-(chain, coordinate) pseudo-target loc and
+        # scale, tuned during WARMUP by the same Robbins-Monro machinery
+        # as the stepping-out widths and FROZEN for sampling — the sound
+        # adaptation of Heiner, Johnson & Waller 2024 (tune the
+        # pseudo-target on warmup draws, then fix it; any FIXED
+        # pseudo-target yields an exact kernel, so the collected chain's
+        # law is untouched).  loc_j is pulled toward accepted draws (an
+        # EWMA estimate of the coordinate's conditional center); the log
+        # scale toward log(pseudo_c * |draw - loc_j|), i.e. pseudo_c x
+        # the mean absolute deviation.  Motivation: the fixed global
+        # pseudo-target's measured failure modes are exactly (a)
+        # coordinates sitting far from loc (the min-ESS coordinate of the
+        # global-scale ladder, results/round5_qscale_ladder.jsonl) and
+        # (b) scale mismatch on narrow/skewed conditionals
+        # (poisson/Laplace pair, results/round5_quantile_generalization
+        # .jsonl).  The per-lane values live in QuantileState.qloc and
+        # the (otherwise unused) logw buffer; initialised from
+        # pseudo_loc / pseudo_scale.
+        self.q_adapt = bool(tuning.get("pseudo_adapt", False))
+        self.q_c = float(tuning.get("pseudo_c", 5.0))
+        if self.q_adapt and slice_kernel != "quantile":
+            raise ValueError(
+                "pseudo_adapt=True is a quantile-kernel tuning parameter; "
+                f"drop it for slice_kernel={slice_kernel!r}"
+            )
         user_reduce_fn = reduce_fn is not None
         if obs_weights is not None:
             ow = jnp.asarray(obs_weights, dtype).reshape(-1)
@@ -413,6 +468,8 @@ class FreeRunCGGibbs:
             from .ops.freerun_doubling import DoublingState
 
             self.state_cls = DoublingState
+        elif self.q_adapt:
+            self.state_cls = QuantileState
         else:
             self.state_cls = FreeRunState
         self._run_cache: dict = {}
@@ -504,7 +561,8 @@ class FreeRunCGGibbs:
 
     # -- coordinate initialisation (batched) ---------------------------------
 
-    def _begin_coord(self, key, beta, logw, j, shrink_only, ubatch=None):
+    def _begin_coord(self, key, beta, logw, j, shrink_only, ubatch=None,
+                     qloc=None):
         """Level + initial interval for each lane's coordinate j.  Returns a
         dict of fresh automaton registers.
 
@@ -534,7 +592,8 @@ class FreeRunCGGibbs:
         if self.is_angular:
             return self._begin_coord_elliptical(key, beta, logw, j, ubatch)
         if self.slice_kernel == "quantile":
-            return self._begin_coord_quantile(key, beta, logw, j, ubatch)
+            return self._begin_coord_quantile(key, beta, logw, j, ubatch,
+                                              qloc=qloc)
         if self.slice_kernel == "doubling":
             return self._begin_coord_doubling(key, beta, logw, j, ubatch)
         dtype = self.dtype
@@ -686,32 +745,46 @@ class FreeRunCGGibbs:
 
     # -- quantile pseudo-target maps (lockstep slice_quantile parity) ------
 
-    def quantile_ppf(self, u):
+    def quantile_ppf(self, u, loc=None, scale=None):
         """Pseudo-target quantile function, with the lockstep kernel's
-        eps-clip so endpoint proposals stay finite."""
+        eps-clip so endpoint proposals stay finite.  ``loc``/``scale``
+        (optional per-lane arrays, broadcastable against ``u``) override
+        the global pseudo-target — the ``pseudo_adapt`` path."""
+        loc = self.q_loc if loc is None else loc
+        scale = self.q_scale if scale is None else scale
         u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
         if self.q_family == "normal":
             from jax.scipy.special import ndtri
 
-            return self.q_loc + self.q_scale * ndtri(u)
-        return self.q_loc + self.q_scale * jnp.tan(
-            jnp.pi * (u - 0.5)
-        )
+            return loc + scale * ndtri(u)
+        return loc + scale * jnp.tan(jnp.pi * (u - 0.5))
 
-    def quantile_cdf(self, x):
+    def quantile_cdf(self, x, loc=None, scale=None):
+        loc = self.q_loc if loc is None else loc
+        scale = self.q_scale if scale is None else scale
         if self.q_family == "normal":
-            return jax.scipy.stats.norm.cdf(x, self.q_loc, self.q_scale)
-        return 0.5 + jnp.arctan((x - self.q_loc) / self.q_scale) / jnp.pi
+            return jax.scipy.stats.norm.cdf(x, loc, scale)
+        return 0.5 + jnp.arctan((x - loc) / scale) / jnp.pi
 
-    def quantile_logpdf(self, x):
-        z = (x - self.q_loc) / self.q_scale
-        if self.q_family == "normal":
+    def quantile_logpdf(self, x, loc=None, scale=None):
+        if loc is None and scale is None and self.q_family == "normal":
+            # scalar-scale fast path: the log-normaliser is a python float
+            z = (x - self.q_loc) / self.q_scale
             return -0.5 * z * z - float(
                 np.log(self.q_scale) + 0.5 * np.log(2.0 * np.pi)
             )
-        return -jnp.log(jnp.pi * self.q_scale * (1.0 + z * z))
+        loc = self.q_loc if loc is None else loc
+        scale = self.q_scale if scale is None else scale
+        z = (x - loc) / scale
+        if self.q_family == "normal":
+            return (
+                -0.5 * z * z - jnp.log(scale)
+                - float(0.5 * np.log(2.0 * np.pi))
+            )
+        return -jnp.log(jnp.pi * scale * (1.0 + z * z))
 
-    def _begin_coord_quantile(self, key, beta, logw, j, ubatch=None):
+    def _begin_coord_quantile(self, key, beta, logw, j, ubatch=None,
+                              qloc=None):
         """Quantile-slice coordinate begin (Heiner, Johnson & Waller 2024;
         lockstep reference ops/slice_kernels.py slice_quantile,
         qslice::slice_quantile).
@@ -720,7 +793,15 @@ class FreeRunCGGibbs:
         sampled by pure shrinkage on the unit interval: bracket (0, 1),
         pivot u0 = F(b0) (carried in the ``w`` register), proposals mapped
         through :meth:`quantile_ppf` and the pseudo-density correction
-        psi(b0)/psi(x) folded into the slice comparison by the pass."""
+        psi(b0)/psi(x) folded into the slice comparison by the pass.
+
+        ``pseudo_adapt``: the coordinate's pseudo-target is read from the
+        per-(chain, coordinate) buffers — loc from ``qloc``, scale from
+        ``exp(logw)`` — so u0 pivots at the ADAPTED CDF of b0; the pass
+        gathers the same (c, j) values for its ppf/logpdf maps, and the
+        buffers only ever change at this lane's own commit, so loc/scale
+        are constant across a coordinate episode (the within-episode
+        invariance a slice kernel requires)."""
         dtype = self.dtype
         C = beta.shape[0]
         if ubatch is None:
@@ -731,9 +812,19 @@ class FreeRunCGGibbs:
             u_lvl, u_first = ubatch[:, 0], ubatch[:, 1]
         level = jnp.log1p(-u_lvl)  # -Exp(1), on the h scale
         b0 = jnp.take_along_axis(beta, j[:, None], axis=1)[:, 0]
-        u0 = jnp.clip(
-            jnp.asarray(self.quantile_cdf(b0), dtype), 1e-7, 1.0 - 1e-7
-        )
+        if self.q_adapt:
+            loc = jnp.take_along_axis(qloc, j[:, None], axis=1)[:, 0]
+            scale = jnp.exp(
+                jnp.take_along_axis(logw, j[:, None], axis=1)[:, 0]
+            )
+            u0 = jnp.clip(
+                jnp.asarray(self.quantile_cdf(b0, loc, scale), dtype),
+                1e-7, 1.0 - 1e-7,
+            )
+        else:
+            u0 = jnp.clip(
+                jnp.asarray(self.quantile_cdf(b0), dtype), 1e-7, 1.0 - 1e-7
+            )
         lp0 = jnp.asarray(self._coord_lp(beta, j, b0), dtype)
         zero = jnp.zeros((C,), jnp.int32)
         return dict(
@@ -815,14 +906,23 @@ class FreeRunCGGibbs:
             # relayout here, none per pass
             eta = eta.reshape(C, *self._eta3)
         w_init = (
-            1.0 / self.rate if self.slice_kernel == "latent" else self.w0
+            1.0 / self.rate if self.slice_kernel == "latent"
+            else self.q_scale if self.q_adapt
+            else self.w0
         )
         logw = jnp.full((C, self.d), jnp.log(jnp.asarray(w_init, dtype)))
+        qloc = (
+            jnp.full((C, self.d), jnp.asarray(self.q_loc, dtype))
+            if self.q_adapt else None
+        )
         j0 = jnp.zeros((C,), jnp.int32)
-        reg = self._begin_coord(k_coord, beta, logw, j0, shrink_only=False)
+        reg = self._begin_coord(k_coord, beta, logw, j0, shrink_only=False,
+                                qloc=qloc)
         logw_j = reg.pop("logw_j", None)
         if logw_j is not None:  # latent: commit the refreshed width
             logw = self._commit_row(logw, j0, logw_j)
+        if qloc is not None:
+            reg["qloc"] = qloc
         return self.state_cls(
             beta=beta, eta=eta, ld0=ld0, key=k_run, logw=logw,
             j=j0, nev=jnp.zeros((C,), jnp.int32),

@@ -41,6 +41,17 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     R4 = jax.random.uniform(k_u, (C, 1 + nb), dtype=dtype)
     u_shrink = R4[:, 0]
 
+    # pseudo_adapt: the current coordinate's pseudo-target, gathered
+    # once from the per-(chain, coordinate) buffers (constant across the
+    # coordinate episode — the buffers only change at this lane's commit)
+    if eng.slice_kernel == "quantile" and eng.q_adapt:
+        q_loc_l = jnp.take_along_axis(s.qloc, s.j[:, None], axis=1)[:, 0]
+        q_scale_l = jnp.exp(
+            jnp.take_along_axis(s.logw, s.j[:, None], axis=1)[:, 0]
+        )
+    else:
+        q_loc_l = q_scale_l = None
+
     # 1-2. the single fused evaluation.  Angular kernels
     # (elliptical/genelliptical) carry the ANGLE in the xprop register
     # and the auxiliary point nu in w; the proposal is mapped through
@@ -49,7 +60,8 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     if eng.is_angular:
         xp_x = eng.ellipse_point(s.b0, s.w, s.xprop)
     elif eng.slice_kernel == "quantile":
-        xp_x = eng.quantile_ppf(s.xprop)  # xprop carries u in (0, 1)
+        # xprop carries u in (0, 1)
+        xp_x = eng.quantile_ppf(s.xprop, q_loc_l, q_scale_l)
     else:
         xp_x = s.xprop
     delta = xp_x - s.b0
@@ -66,7 +78,10 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     if eng.slice_kernel == "quantile":
         # transformed target h = f - log psi: the pseudo-density
         # correction relative to the committed point
-        f = f + eng.quantile_logpdf(s.b0) - eng.quantile_logpdf(xp_x)
+        f = f + (
+            eng.quantile_logpdf(s.b0, q_loc_l, q_scale_l)
+            - eng.quantile_logpdf(xp_x, q_loc_l, q_scale_l)
+        )
     above = f > s.level
 
     stepping = s.phase == 0
@@ -134,6 +149,22 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
         new_lw = (1.0 - eng._adapt_rate) * lw_j + eng._adapt_rate * target
         logw = eng._commit_row(s.logw, s.j, new_lw, gate=accept_move)
 
+    qloc = getattr(s, "qloc", None)
+    if adapt and eng.slice_kernel == "quantile" and eng.q_adapt:
+        # Robbins-Monro pull of the coordinate's pseudo-target: loc_j
+        # toward accepted draws (an EWMA of the conditional's center),
+        # log scale_j toward log(pseudo_c * |draw - loc_j|) (pseudo_c x
+        # the mean absolute deviation).  Warmup-only; frozen for
+        # sampling (adapt=False), so the collected kernel is fixed and
+        # exact — the Heiner et al. 2024 adaptation recipe.
+        r = eng._adapt_rate
+        new_loc = (1.0 - r) * q_loc_l + r * b_star
+        target_q = jnp.log(eng.q_c * jnp.abs(b_star - q_loc_l) + 1e-6)
+        lw_j = jnp.log(q_scale_l)
+        new_lw = (1.0 - r) * lw_j + r * target_q
+        logw = eng._commit_row(s.logw, s.j, new_lw, gate=accept_move)
+        qloc = eng._commit_row(s.qloc, s.j, new_loc, gate=accept_move)
+
     # coordinate / sweep bookkeeping
     nev_new = s.nev + active.astype(jnp.int32)
     j_next = jnp.where(commit, s.j + 1, s.j)
@@ -152,7 +183,7 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     if stepout_sweeps is not None and not shrink_only:
         so_eff = sweep_count >= stepout_sweeps
     reg = eng._begin_coord(key, beta, logw, j_next, so_eff,
-                            ubatch=R4[:, 1:1 + nb])
+                            ubatch=R4[:, 1:1 + nb], qloc=qloc)
     logw_j = reg.pop("logw_j", None)
     if logw_j is not None:  # latent: commit the refreshed bracket width
         logw = eng._commit_row(logw, j_next, logw_j, gate=commit)
@@ -176,7 +207,7 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     def keep(new, old):
         return jnp.where(active, new, old)
 
-    new_state = type(s)(
+    fields = dict(
         beta=beta, eta=eta, ld0=ld0, key=key, logw=logw,
         j=j_next,
         phase=keep(pick("phase", phase), s.phase),
@@ -191,7 +222,9 @@ def run_pass(eng, s: FreeRunState, sweep_count, draws, nevbuf,
         n_shrink=keep(pick("n_shrink", n_shrink), s.n_shrink),
         nev=nev_new,
     )
-    return new_state, sweep_count, draws, nevbuf
+    if qloc is not None:  # QuantileState (pseudo_adapt)
+        fields["qloc"] = qloc
+    return type(s)(**fields), sweep_count, draws, nevbuf
 
 
 
@@ -267,13 +300,26 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
         s.R[:, None] + ks * s.w[:, None],
     )
     xs = jnp.where(stepping[:, None], x_step, xs_sh)
+    # pseudo_adapt: the current coordinate's pseudo-target, gathered once
+    # from the per-(chain, coordinate) buffers
+    if eng.slice_kernel == "quantile" and eng.q_adapt:
+        q_loc_l = jnp.take_along_axis(s.qloc, s.j[:, None], axis=1)[:, 0]
+        q_scale_l = jnp.exp(
+            jnp.take_along_axis(s.logw, s.j[:, None], axis=1)[:, 0]
+        )
+    else:
+        q_loc_l = q_scale_l = None
     # angular/quantile: xs live in the bracket space (angle / unit
     # interval); map to x for everything that sees x-space (evaluation,
     # prior, commit)
     if eng.is_angular:
         xs_eval = eng.ellipse_point(s.b0[:, None], s.w[:, None], xs)
     elif eng.slice_kernel == "quantile":
-        xs_eval = eng.quantile_ppf(xs)
+        xs_eval = eng.quantile_ppf(
+            xs,
+            None if q_loc_l is None else q_loc_l[:, None],
+            None if q_scale_l is None else q_scale_l[:, None],
+        )
     else:
         xs_eval = xs
 
@@ -285,8 +331,12 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     )  # (C, K)
     if eng.slice_kernel == "quantile":
         fprior = fprior + (
-            eng.quantile_logpdf(s.b0)[:, None]
-            - eng.quantile_logpdf(xs_eval)
+            eng.quantile_logpdf(s.b0, q_loc_l, q_scale_l)[:, None]
+            - eng.quantile_logpdf(
+                xs_eval,
+                None if q_loc_l is None else q_loc_l[:, None],
+                None if q_scale_l is None else q_scale_l[:, None],
+            )
         )
     shrinking = s.phase == 1
     # >= 1 for active shrink lanes; clamped because inactive lanes keep
@@ -427,6 +477,18 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
         new_lw = (1.0 - eng._adapt_rate) * lw_j + eng._adapt_rate * target
         logw = eng._commit_row(s.logw, s.j, new_lw, gate=accept_move)
 
+    qloc = getattr(s, "qloc", None)
+    if adapt and eng.slice_kernel == "quantile" and eng.q_adapt:
+        # warmup-only pseudo-target pull; frozen for sampling — see the
+        # identical block (with rationale) in run_pass
+        r = eng._adapt_rate
+        new_loc = (1.0 - r) * q_loc_l + r * b_star
+        target_q = jnp.log(eng.q_c * jnp.abs(b_star - q_loc_l) + 1e-6)
+        lw_j = jnp.log(q_scale_l)
+        new_lw = (1.0 - r) * lw_j + r * target_q
+        logw = eng._commit_row(s.logw, s.j, new_lw, gate=accept_move)
+        qloc = eng._commit_row(s.qloc, s.j, new_loc, gate=accept_move)
+
     consumed = jnp.where(stepping, consumed_step, consumed_sh)
     nev_new = s.nev + jnp.where(active, consumed, 0)
     j_next = jnp.where(commit, s.j + 1, s.j)
@@ -442,7 +504,7 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     if stepout_sweeps is not None and not shrink_only:
         so_eff = sweep_count >= stepout_sweeps
     reg = eng._begin_coord(key, beta, logw, j_next, so_eff,
-                            ubatch=RU[:, K:K + nb])
+                            ubatch=RU[:, K:K + nb], qloc=qloc)
     logw_j = reg.pop("logw_j", None)
     if logw_j is not None:  # latent: commit the refreshed bracket width
         logw = eng._commit_row(logw, j_next, logw_j, gate=commit)
@@ -466,7 +528,7 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
     def keep(new, old):
         return jnp.where(active, new, old)
 
-    new_state = type(s)(
+    fields = dict(
         beta=beta, eta=eta, ld0=ld0, key=key, logw=logw,
         j=j_next,
         phase=keep(pick("phase", phase), s.phase),
@@ -481,5 +543,7 @@ def run_pass_spec(eng, s: FreeRunState, sweep_count, draws, nevbuf,
         n_shrink=keep(pick("n_shrink", n_shrink), s.n_shrink),
         nev=nev_new,
     )
-    return new_state, sweep_count, draws, nevbuf
+    if qloc is not None:  # QuantileState (pseudo_adapt)
+        fields["qloc"] = qloc
+    return type(s)(**fields), sweep_count, draws, nevbuf
 

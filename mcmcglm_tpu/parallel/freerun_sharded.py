@@ -94,10 +94,12 @@ class ShardedFreeRunCGGibbs:
             j=s, phase=s, stepdir=s, level=s, L=s, R=s, budL=s, budR=s,
             b0=s, lp0=s, w=s, xprop=s, n_shrink=s, nev=s,
         )
-        # any state-class extension registers (e.g. DoublingState's
-        # back-test block) are per-chain (C,) arrays: chain-sharded
+        # state-class extension registers: DoublingState's back-test
+        # block is per-chain (C,); QuantileState's pseudo-target loc
+        # buffer is (C, d) — both chain-sharded on axis 0
+        base["qloc"] = P(CHAIN_AXIS, None)
         cls = self.inner.state_cls
-        return cls(**base, **{f: s for f in cls._fields if f not in base})
+        return cls(**{f: base.get(f, s) for f in cls._fields})
 
     def _check_chains(self, n_chains: int) -> int:
         if n_chains % self.n_shards:

@@ -298,6 +298,99 @@ class TestQuantileFreeRun:
         np.testing.assert_allclose(post.mean(0), mean, atol=0.06)
 
 
+class TestAdaptedQuantile:
+    """pseudo_adapt=True: per-(chain, coordinate) pseudo-target loc/scale
+    tuned during warmup (Robbins-Monro, like the stepping-out widths) and
+    FROZEN for sampling — the sound adaptation of Heiner et al. 2024.
+    Any fixed pseudo-target is an exact kernel, so the collected law must
+    match the oracle; the adaptation's whole point is fewer evaluations
+    per coordinate when conditionals are narrow or sit away from the
+    global pseudo-target's center."""
+
+    TUN = {"pseudo_scale": 2.0, "pseudo_adapt": True, "pseudo_c": 5.0}
+
+    def test_matches_oracle_freezes_and_beats_global_evals(self, problem):
+        X, y, mean, cov = problem
+        d = X.shape[1]
+        draws, nev_a, eng, st = _fit(X, y, "quantile", self.TUN, spec_k=4)
+        post = draws[:, 100:, :].reshape(-1, d)
+        np.testing.assert_allclose(post.mean(0), mean, atol=0.05)
+        np.testing.assert_allclose(
+            post.std(0), np.sqrt(np.diag(cov)), rtol=0.15
+        )
+        # frozen: a sampling run must not move the pseudo-target buffers
+        st2, _, _ = eng.run(st, 5)
+        np.testing.assert_array_equal(np.asarray(st2.qloc),
+                                      np.asarray(st.qloc))
+        np.testing.assert_array_equal(np.asarray(st2.logw),
+                                      np.asarray(st.logw))
+        # the adapted locs track the conditional centers
+        np.testing.assert_allclose(
+            np.asarray(st.qloc).mean(0), mean, atol=0.15
+        )
+        # mechanism: fewer evaluations than the fixed global pseudo-target
+        # on this problem (narrow conditionals away from loc 0)
+        _, nev_g, _, _ = _fit(X, y, "quantile", {"pseudo_scale": 2.0},
+                              spec_k=4)
+        assert nev_a < 0.8 * nev_g, (nev_a, nev_g)
+
+    def test_run_passes_bitwise(self, problem):
+        """QuantileState rides through the pass-bounded driver bitwise."""
+        X, y, _, _ = problem
+        d = X.shape[1]
+
+        def make():
+            return FreeRunCGGibbs(
+                X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), d),
+                extra={"sd": 1.0}, slice_kernel="quantile",
+                tuning=self.TUN,
+            )
+
+        e1 = make()
+        s1 = e1.init(jax.random.key(7), 8)
+        s1, d1, _ = e1.run(s1, 25)
+        e2 = make()
+        s2 = e2.init(jax.random.key(7), 8)
+        sc = dr = nb = None
+        while True:
+            s2, sc, dr, nb = e2.run_passes(s2, sc, dr, nb, 25, 33)
+            if (np.asarray(sc) >= 25).all():
+                break
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(dr))
+
+    def test_sharded_adapted(self, problem):
+        from mcmcglm_tpu.parallel import (
+            ObsShardedFreeRunCGGibbs,
+            ShardedFreeRunCGGibbs,
+            make_mesh,
+        )
+
+        X, y, mean, _ = problem
+        d = X.shape[1]
+        for cls, mesh in ((ShardedFreeRunCGGibbs, make_mesh(8, 1)),
+                          (ObsShardedFreeRunCGGibbs, make_mesh(2, 4))):
+            eng = cls(
+                X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), d),
+                extra={"sd": 1.0}, mesh=mesh,
+                slice_kernel="quantile", tuning=self.TUN,
+            )
+            st = eng.init(jax.random.key(9), 8)
+            st, _, _ = eng.warmup(st, 50)
+            st, draws, _ = eng.run(st, 300)
+            post = np.asarray(draws)[:, 100:, :].reshape(-1, d)
+            np.testing.assert_allclose(post.mean(0), mean, atol=0.06)
+
+    def test_validation(self, problem):
+        X, y, _, _ = problem
+        d = X.shape[1]
+        with pytest.raises(ValueError, match="pseudo_adapt"):
+            FreeRunCGGibbs(
+                X, y, "gaussian", mg.IIDPrior(mg.Normal(0, 1), d),
+                slice_kernel="stepping_out",
+                tuning={"w": 0.5, "pseudo_adapt": True},
+            )
+
+
 def test_api_quantile_routes_to_freerun():
     rng = np.random.default_rng(12)
     n, d = 300, 3
