@@ -18,8 +18,15 @@ Protocol
   1429 / 1310 min-ESS/s at scale 0.25 / 0.5 / 1 / 2 / 3 / 4 / 6) peaks
   at scale 2: wider pseudo-targets buy per-draw mixing (0.67 -> 0.86
   min-ESS/draw) for a sub-linear evaluation-count cost until ~3.
-  ``BENCH_KERNEL=stepping_out`` restores the previous configuration
-  (the reference's default kernel).
+  On top of that the bench enables ADAPTED pseudo-targets
+  (``pseudo_adapt=True``, pseudo_c=3): per-(chain, coordinate) loc/scale
+  tuned during warmup and frozen for sampling (Heiner et al. 2024's
+  freeze-after-warmup recipe) — the same-process pseudo_c ladder
+  (results/round5_quantile_adapt.jsonl: 1602 / 1718 / 1686 / 1639 /
+  1402 / 1198 at c = 2 / 3 / 4 / 5 / 10 / 20 vs anchor 1638.6) peaks at
+  c=3 with 2.03 evals/coord.  ``BENCH_PSEUDO_ADAPT=0`` restores the
+  fixed Cauchy(0, 2) pseudo-target; ``BENCH_KERNEL=stepping_out``
+  restores the reference's default kernel.
 * Warm up (compile + burn-in), then time K sweeps; compute pooled bulk ESS
   per coordinate over the timed draws and report the MINIMUM across
   coordinates (the worst-mixing parameter) divided by wall time.
@@ -161,6 +168,16 @@ def main():
     # quantile pseudo-target scale: the measured ESS/s optimum (ladder in
     # the module docstring); ignored by the other kernels
     q_scale = float(os.environ.get("BENCH_PSEUDO_SCALE", "2.0"))
+    # adapted pseudo-targets (Heiner et al. 2024 freeze-after-warmup):
+    # per-(chain, coordinate) loc/scale tuned during the warmup below.
+    # Same-process ladder (results/round5_quantile_adapt.jsonl): the
+    # pseudo_c frontier peaks at 3 — 1718.3 min-ESS/s vs 1638.6 for the
+    # fixed Cauchy(0, 2) anchor (+4.9%; 2.03 evals/coord at ESS/draw
+    # 0.863).  BENCH_PSEUDO_ADAPT=0 restores the fixed pseudo-target.
+    q_adapt = os.environ.get("BENCH_PSEUDO_ADAPT", "1") != "0"
+    q_c = float(os.environ.get("BENCH_PSEUDO_C", "3.0"))
+    if kernel != "quantile":
+        q_adapt = False
 
     # the freerun engine (freerun.py): lockstep-free automaton scheduling,
     # warmup-adapted widths, shrink-only sampling kernel — measured 391
@@ -175,7 +192,7 @@ def main():
     # the remote compile service intermittently wedges or 500s on Mosaic
     # kernels, and the bench must produce a number regardless.
     t0 = time.perf_counter()
-    config = (n, d, n_chains, kernel, q_scale)
+    config = (n, d, n_chains, kernel, q_scale, q_adapt, q_c)
     marker = _read_marker(config) if on_accel else None
 
     def _stage(label, t):
@@ -195,7 +212,8 @@ def main():
             # one tuning dict serves both kernels: stepping_out reads w
             # (then warmup-adapts it) and ignores the pseudo-target
             # params; quantile the reverse
-            tuning={"w": 0.5, "pseudo_scale": q_scale},
+            tuning={"w": 0.5, "pseudo_scale": q_scale,
+                    "pseudo_adapt": q_adapt, "pseudo_c": q_c},
             slice_kernel=kernel,
             spec_k=4 if on_accel else 1,
             battery_impl=impl if on_accel else "auto",
@@ -363,6 +381,7 @@ def main():
                 "baseline_proxy_ess_per_sec": round(baseline_ess_per_sec, 4),
                 "battery": getattr(eng, "battery_impl", None),
                 "slice_kernel": kernel,
+                "pseudo_adapt": q_adapt,
                 "selection_cache_hit": cache_hit,
                 "pass_microseconds": round(pass_s * 1e6, 2),
                 "bytes_per_pass": bytes_per_pass,
